@@ -1,0 +1,33 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+All tests run on CPU with 8 virtual XLA devices so sharding/collective code
+paths are exercised without TPU hardware. This must run before jax is
+imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def iemocap_pickle(tmp_path_factory):
+    from gan_ffn_tpu.data.synthetic import write_synthetic_iemocap
+
+    path = tmp_path_factory.mktemp("data") / "IEMOCAP_features.pkl"
+    # Small fixture: fast to load, still multi-bucket.
+    return write_synthetic_iemocap(str(path), n_train=24, n_test=8, min_len=4, max_len=40)
+
+
+@pytest.fixture(scope="session")
+def meld_pickle(tmp_path_factory):
+    from gan_ffn_tpu.data.synthetic import write_synthetic_meld
+
+    path = tmp_path_factory.mktemp("data") / "MELD_features_raw.pkl"
+    return write_synthetic_meld(str(path), n_train=16, n_test=6, min_len=3, max_len=20)

@@ -1,0 +1,147 @@
+"""Data layer tests: schemas, normalization, split, bucketed batching."""
+
+import numpy as np
+import pytest
+
+from gan_ffn_tpu.data import (
+    BucketedLoader,
+    IEMOCAPDataset,
+    MELDDataset,
+    get_iemocap_loaders,
+    get_meld_loaders,
+    head_tail_split,
+)
+from gan_ffn_tpu.data.datasets import minmax_normalize
+from gan_ffn_tpu.data.loaders import collate
+from gan_ffn_tpu.data.synthetic import (
+    write_synthetic_avec,
+    write_synthetic_dailydialogue,
+)
+
+
+def test_minmax_normalize_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    x = rng.normal(2.0, 3.0, size=(7, 5)).astype(np.float32)
+    y = minmax_normalize(x)
+    expected = (x - x.min()) / (x.max() - x.min())
+    np.testing.assert_allclose(y, expected, rtol=1e-6)
+    assert y.min() == 0.0 and y.max() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_minmax_constant_guarded_vs_strict():
+    x = np.full((3, 4), 7.0, dtype=np.float32)
+    assert np.all(minmax_normalize(x) == 0.0)  # epsilon-guarded
+    with np.errstate(invalid="ignore"):
+        assert np.all(np.isnan(minmax_normalize(x, strict_parity=True)))  # reference NaN
+
+
+def test_iemocap_dataset_schema(iemocap_pickle):
+    ds = IEMOCAPDataset(iemocap_pickle, train=True)
+    assert len(ds) == 24
+    d = ds[0]
+    L = d.length
+    assert d.text.shape == (L, 100)
+    assert d.audio.shape == (L, 100)
+    assert d.visual.shape == (L, 512)
+    assert d.qmask.shape == (L, 2)
+    # qmask one-hot
+    np.testing.assert_array_equal(d.qmask.sum(-1), np.ones(L))
+    assert d.label.dtype == np.int32
+    assert d.label.min() >= 0 and d.label.max() < 6
+    # normalization applied: all modalities in [0, 1]
+    for arr in (d.text, d.audio, d.visual):
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_meld_dataset_schema(meld_pickle):
+    ds = MELDDataset(meld_pickle, classify="emotion", train=True)
+    d = ds[0]
+    L = d.length
+    assert d.text.shape == (L, 600)
+    assert d.audio.shape == (L, 300)
+    assert d.visual is None
+    assert d.qmask.shape == (L, 9)
+    ds_sent = MELDDataset(meld_pickle, classify="sentiment", train=True)
+    assert ds_sent[0].label.max() < 3
+
+
+def test_head_tail_split_matches_reference():
+    # reference get_train_valid_sampler: valid = first int(0.1*n) indices
+    train, valid = head_tail_split(24, 0.1)
+    assert list(valid) == [0, 1]
+    assert list(train) == list(range(2, 24))
+
+
+def test_collate_shapes_and_masks(iemocap_pickle):
+    ds = IEMOCAPDataset(iemocap_pickle, train=True)
+    dialogues = [ds[i] for i in range(3)]
+    batch = collate(dialogues, bucket_len=48, batch_size=4)
+    assert batch.text.shape == (48, 4, 100)
+    assert batch.visual.shape == (48, 4, 512)
+    assert batch.audio.shape == (48, 4, 100)
+    assert batch.qmask.shape == (48, 4, 2)
+    assert batch.umask.shape == (4, 48)
+    assert batch.label.shape == (4, 48)
+    assert batch.n_real == 3
+    # padded dialogue column fully masked
+    assert batch.umask[3].sum() == 0
+    for j, d in enumerate(dialogues):
+        assert batch.umask[j].sum() == d.length
+        np.testing.assert_array_equal(batch.text[: d.length, j], d.text)
+        # tail padding is zero
+        assert np.all(batch.text[d.length :, j] == 0)
+
+
+def test_bucketed_loader_static_shapes(iemocap_pickle):
+    ds = IEMOCAPDataset(iemocap_pickle, train=True)
+    loader = BucketedLoader(ds, batch_size=8, buckets=(16, 32, 48), seed=0)
+    shapes = set()
+    n_dialogues = 0
+    for batch in loader:
+        shapes.add((batch.seq_len, batch.batch_size))
+        n_dialogues += batch.n_real
+        assert batch.seq_len in (16, 32, 48)
+        assert batch.batch_size == 8
+    assert n_dialogues == len(ds)
+
+
+def test_loader_epoch_shuffling_is_deterministic(iemocap_pickle):
+    ds = IEMOCAPDataset(iemocap_pickle, train=True)
+    l1 = BucketedLoader(ds, batch_size=8, seed=7)
+    l2 = BucketedLoader(ds, batch_size=8, seed=7)
+    v1 = [b.vids for b in l1]
+    v2 = [b.vids for b in l2]
+    assert v1 == v2
+    # different epoch -> different order
+    v3 = [b.vids for b in l1]
+    assert v1 != v3
+
+
+def test_get_iemocap_loaders(iemocap_pickle):
+    train, valid, test = get_iemocap_loaders(iemocap_pickle, batch_size=8, valid=0.1)
+    assert sum(b.n_real for b in train) == 22
+    assert sum(b.n_real for b in valid) == 2
+    assert sum(b.n_real for b in test) == 8
+
+
+def test_get_meld_loaders(meld_pickle):
+    train, valid, test = get_meld_loaders(meld_pickle, batch_size=8, valid=0.0)
+    assert sum(b.n_real for b in train) == 16
+    assert sum(b.n_real for b in valid) == 0
+    assert sum(b.n_real for b in test) == 6
+
+
+def test_avec_and_dailydialogue_fixtures(tmp_path):
+    from gan_ffn_tpu.data import AVECDataset, DailyDialogueDataset
+
+    avec = write_synthetic_avec(str(tmp_path / "avec.pkl"), n_train=6, n_test=2)
+    ds = AVECDataset(avec, train=True)
+    d = ds[0]
+    assert d.label.dtype == np.float32  # regression labels
+
+    dd = write_synthetic_dailydialogue(str(tmp_path / "dd.pkl"), n_train=6, n_test=2, n_valid=2)
+    ds2 = DailyDialogueDataset(dd, split="valid")
+    assert len(ds2) == 2
+    item = ds2[0]
+    assert item.tokens.ndim == 2
+    assert item.qmask.shape == (item.length, 2)
