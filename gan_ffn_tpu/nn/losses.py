@@ -1,0 +1,114 @@
+"""Masked loss functions (reference model.py:40-114 + the BCE adversarial
+loss, train_IEMOCAP.py:300).
+
+All losses take explicit masks so fixed-shape bucket padding contributes
+exactly zero, reproducing the reference's dynamic-padding numerics:
+
+- ``masked_nll_loss`` replicates MaskedNLLLoss (model.py:62-81) including its
+  quirks: log-probs are multiplied by the mask BEFORE the NLL gather, and the
+  weighted variant normalizes by sum(weight[target] * mask).
+- ``bce_loss`` replicates ``nn.BCELoss`` (mean reduction, log clamp at -100)
+  but takes a mask marking the positions the reference's dynamically-shaped
+  target tensors would have covered (t < batch max length, real dialogue
+  columns).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def masked_nll_loss(
+    log_probs: jnp.ndarray,
+    target: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """MaskedNLLLoss.
+
+    log_probs (N, C); target (N,) int; mask any shape reshaping to (N,);
+    weight optional (C,).
+    """
+    mask_flat = mask.reshape(-1).astype(log_probs.dtype)
+    picked = jnp.take_along_axis(log_probs, target[:, None].astype(jnp.int32), axis=1)[:, 0]
+    # reference computes NLL over (pred * mask): picked log-prob scaled by mask
+    picked = picked * mask_flat
+    if weight is None:
+        loss_sum = -jnp.sum(picked)
+        return loss_sum / jnp.sum(mask_flat)
+    w = weight[target]
+    loss_sum = -jnp.sum(w * picked)
+    return loss_sum / jnp.sum(w * mask_flat)
+
+
+def unmasked_weighted_nll_loss(
+    log_probs: jnp.ndarray,
+    target: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """UnMaskedWeightedNLLLoss (model.py:99-114)."""
+    picked = jnp.take_along_axis(log_probs, target[:, None].astype(jnp.int32), axis=1)[:, 0]
+    if weight is None:
+        return -jnp.sum(picked)
+    w = weight[target]
+    return -jnp.sum(w * picked) / jnp.sum(w)
+
+
+def masked_mse_loss(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """MaskedMSELoss (model.py:84-96): MSE(pred*mask, target)_sum / sum(mask).
+
+    Note the reference does NOT mask the target — preserved.
+    """
+    return jnp.sum(jnp.square(pred * mask - target)) / jnp.sum(mask)
+
+
+def focal_loss(
+    log_probs: jnp.ndarray,
+    target: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    gamma: float = 0.0,
+) -> jnp.ndarray:
+    """FocalLoss (model.py:40-59): masked CE -> focal reweighting.
+
+    The reference feeds *log-probabilities* into CrossEntropyLoss (which
+    applies log_softmax again) — that double-log_softmax is replicated.
+    """
+    import jax
+
+    mask_flat = mask.reshape(-1).astype(log_probs.dtype)
+    scaled = log_probs * mask_flat[:, None]
+    relogged = jax.nn.log_softmax(scaled, axis=-1)
+    picked = jnp.take_along_axis(relogged, target[:, None].astype(jnp.int32), axis=1)[:, 0]
+    if weight is None:
+        ce = -jnp.mean(picked)  # CrossEntropyLoss reduction='mean'
+        logp = ce / jnp.sum(mask_flat)
+    else:
+        w = weight[target]
+        ce = -jnp.sum(w * picked) / jnp.sum(w)
+        logp = ce / jnp.sum(w * mask_flat)
+    p = jnp.exp(-logp)
+    return (1.0 - p) ** gamma * logp
+
+
+def bce_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Binary cross-entropy with torch's -100 log clamp, mean reduction.
+
+    With ``mask``, the mean runs over masked-in elements only — used to make
+    fixed-bucket batches reproduce the reference's BCE over dynamically-sized
+    (L, B, 1) targets (train_IEMOCAP.py:341-346).
+    """
+    eps_log = -100.0
+    log_p = jnp.maximum(jnp.log(pred), eps_log)
+    log_1mp = jnp.maximum(jnp.log(1.0 - pred), eps_log)
+    elem = -(target * log_p + (1.0 - target) * log_1mp)
+    if mask is None:
+        return jnp.mean(elem)
+    m = jnp.broadcast_to(mask.astype(elem.dtype), elem.shape)
+    return jnp.sum(elem * m) / jnp.sum(m)

@@ -7,13 +7,25 @@ imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The hosted TPU platform plugin ("axon") ignores JAX_PLATFORMS, so pin the
+# default device to CPU explicitly — tests must be f32-exact and mesh tests
+# need the 8 virtual CPU devices.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
 import numpy as np
 import pytest
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")
 
 
 @pytest.fixture(scope="session")
