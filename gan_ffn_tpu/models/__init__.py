@@ -1,0 +1,39 @@
+from .baselines import (
+    CNN,
+    CNNFeatureExtractor,
+    E2ELSTMModel,
+    Emoformer,
+    FullyConnection,
+    LSTMModel,
+    LSTMModel2,
+    MELDLSTMModel,
+)
+from .dialogue_rnn import BiModel, DialogueRNN
+from .discriminators import (
+    AcousticDiscriminator,
+    TextDiscriminator,
+    VisualDiscriminator,
+)
+from .gan_ffn import GAN_FFN, GAN_FFN_DialogueRNN
+from .generators import AcousticGenerator, TextGenerator, VisualGenerator
+
+__all__ = [
+    "AcousticDiscriminator",
+    "AcousticGenerator",
+    "BiModel",
+    "CNN",
+    "CNNFeatureExtractor",
+    "E2ELSTMModel",
+    "DialogueRNN",
+    "Emoformer",
+    "FullyConnection",
+    "GAN_FFN",
+    "GAN_FFN_DialogueRNN",
+    "LSTMModel",
+    "LSTMModel2",
+    "MELDLSTMModel",
+    "TextDiscriminator",
+    "TextGenerator",
+    "VisualDiscriminator",
+    "VisualGenerator",
+]

@@ -1,0 +1,265 @@
+"""DialogueRNN as compiled scans (reference model.py:828-1062).
+
+The reference's most TPU-hostile code: three Python-level per-timestep loops —
+the forward party-state scan with a *growing* ``torch.cat`` history
+(model.py:963-977), the mask-aware sequence reversal (1016-1029), and the
+per-timestep MatchingAttention loop in BiModel (1045-1052). Here:
+
+- the per-timestep cell is a ``flax.linen.scan`` body with a **fixed-size
+  preallocated global-state history** and a step-index mask standing in for
+  the growing ``g_hist`` (attention over positions < t);
+- party selection is a one-hot matmul instead of the reference's Python loop
+  over the batch (``_select_parties``, model.py:861-866);
+- sequence reversal is a vectorized gather by per-dialogue lengths;
+- BiModel's att2 loop is ONE batched MatchingAttention call over all
+  timesteps (queries carry the time axis — see nn/attention.py).
+
+Shape/semantics parity notes:
+- the reference's padding rows (zero qmask) hit ``argmax == 0`` and update
+  party 0's state — replicated exactly (padding is masked out of the loss);
+- g_ is dropped out BEFORE being stored into the history (model.py:885);
+- at t==0 the context vector is zeros (model.py:887-888): the all-masked
+  attention renormalization is epsilon-guarded so the pool over the zero
+  history buffer is exactly zero.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.attention import MatchingAttention, SimpleAttention
+from ..nn.core import TorchLinear
+from ..nn.recurrent import GRUCell
+
+
+def _select_parties(q: jnp.ndarray, qm_idx: jnp.ndarray) -> jnp.ndarray:
+    """q (B, P, D), qm_idx (B,) int -> (B, D) via one-hot matmul."""
+    onehot = jax.nn.one_hot(qm_idx, q.shape[1], dtype=q.dtype)
+    return jnp.einsum("bp,bpd->bd", onehot, q)
+
+
+def reverse_padded(x: jnp.ndarray, umask: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized ``_reverse_seq`` (model.py:1016-1029).
+
+    x (L, B, D); umask (B, L). Flips each dialogue's valid prefix in place,
+    keeps zero padding at the tail.
+    """
+    L = x.shape[0]
+    lengths = jnp.sum(umask, axis=1).astype(jnp.int32)  # (B,)
+    t = jax.lax.broadcasted_iota(jnp.int32, (L, umask.shape[0]), 0)  # (L, B)
+    src = jnp.clip(lengths[None, :] - 1 - t, 0, L - 1)  # (L, B)
+    gathered = jnp.take_along_axis(x, src[:, :, None], axis=0)
+    valid = (t < lengths[None, :]).astype(x.dtype)[:, :, None]
+    return gathered * valid
+
+
+class DialogueRNNCell(nn.Module):
+    """One DialogueRNN timestep (reference model.py:828-930), as a scan body.
+
+    carry: (g_hist (L, B, D_g), q (B, P, D_p), e (B, D_e), t ())
+    inputs per step: (U_t (B, D_m), qmask_t (B, P))
+    outputs per step: (e_t (B, D_e), alpha_t (B, L))
+    """
+
+    D_m: int
+    D_g: int
+    D_p: int
+    D_e: int
+    listener_state: bool = False
+    context_attention: str = "simple"
+    D_a: int = 100
+    dropout: float = 0.5
+    deterministic: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, inputs):
+        g_hist, q0, e0, t = carry
+        U, qmask = inputs
+        B = U.shape[0]
+        L = g_hist.shape[0]
+
+        drop = lambda v: nn.Dropout(self.dropout)(v, deterministic=self.deterministic)
+
+        qm_idx = jnp.argmax(qmask, axis=1)
+        q0_sel = _select_parties(q0, qm_idx)
+
+        g_prev = jax.lax.cond(
+            t > 0,
+            lambda: jnp.take(g_hist, jnp.maximum(t - 1, 0), axis=0),
+            lambda: jnp.zeros((B, self.D_g), dtype=U.dtype),
+        )
+        g_ = GRUCell(self.D_g, name="g_cell")(
+            jnp.concatenate([U, q0_sel], axis=1), g_prev
+        )
+        g_ = drop(g_)
+
+        # context over the history prefix (positions < t); zeros at t == 0
+        hist_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) < t
+        ).astype(U.dtype)
+        if self.context_attention == "simple":
+            c_, alpha = SimpleAttention(self.D_g, name="attention")(
+                g_hist, mask=hist_mask
+            )
+        else:
+            c_, alpha = MatchingAttention(
+                self.D_g,
+                self.D_m,
+                self.D_a,
+                self.context_attention,
+                name="attention",
+            )(g_hist, U, hist_mask)
+        c_ = jnp.where(t > 0, c_, 0.0)
+        alpha = jnp.where(t > 0, alpha[:, 0, :], 0.0)  # (B, L)
+
+        P = qmask.shape[1]
+        U_c = jnp.concatenate([U, c_], axis=1)  # (B, D_m + D_g)
+        U_c_exp = jnp.broadcast_to(U_c[:, None, :], (B, P, U_c.shape[-1]))
+        qs_ = GRUCell(self.D_p, name="p_cell")(
+            U_c_exp.reshape(B * P, -1), q0.reshape(B * P, self.D_p)
+        ).reshape(B, P, self.D_p)
+        qs_ = drop(qs_)
+
+        if self.listener_state:
+            U_exp = jnp.broadcast_to(U[:, None, :], (B, P, self.D_m)).reshape(B * P, self.D_m)
+            ss_ = _select_parties(qs_, qm_idx)
+            ss_exp = jnp.broadcast_to(ss_[:, None, :], (B, P, self.D_p)).reshape(B * P, self.D_p)
+            ql_ = GRUCell(self.D_p, name="l_cell")(
+                jnp.concatenate([U_exp, ss_exp], axis=1), q0.reshape(B * P, self.D_p)
+            ).reshape(B, P, self.D_p)
+            ql_ = drop(ql_)
+        else:
+            ql_ = q0
+
+        qmask_ = qmask[:, :, None]
+        q_ = ql_ * (1.0 - qmask_) + qs_ * qmask_
+
+        e_ = GRUCell(self.D_e, name="e_cell")(_select_parties(q_, qm_idx), e0)
+        e_ = drop(e_)
+
+        g_hist = jax.lax.dynamic_update_slice(g_hist, g_[None], (t, 0, 0))
+        return (g_hist, q_, e_, t + 1), (e_, alpha)
+
+
+class DialogueRNN(nn.Module):
+    """Sequential scan over timesteps (reference model.py:933-978).
+
+    U (L, B, D_m), qmask (L, B, P) -> (e (L, B, D_e), alpha (L, B, L)).
+    """
+
+    D_m: int
+    D_g: int
+    D_p: int
+    D_e: int
+    listener_state: bool = False
+    context_attention: str = "simple"
+    D_a: int = 100
+    dropout: float = 0.5
+    deterministic: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, U, qmask):
+        L, B, _ = U.shape
+        P = qmask.shape[-1]
+        scan_cell = nn.scan(
+            DialogueRNNCell,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+        )(
+            self.D_m,
+            self.D_g,
+            self.D_p,
+            self.D_e,
+            self.listener_state,
+            self.context_attention,
+            self.D_a,
+            self.dropout,
+            self.deterministic,
+            self.dtype,
+            name="dialogue_cell",
+        )
+        carry0 = (
+            jnp.zeros((L, B, self.D_g), dtype=U.dtype),
+            jnp.zeros((B, P, self.D_p), dtype=U.dtype),
+            jnp.zeros((B, self.D_e), dtype=U.dtype),
+            jnp.asarray(0, dtype=jnp.int32),
+        )
+        _, (e, alpha) = scan_cell(carry0, (U, qmask))
+        return e, alpha
+
+
+class BiModel(nn.Module):
+    """Bidirectional DialogueRNN classifier (reference model.py:981-1062).
+
+    U (L, B, D_m), qmask (L, B, P), umask (B, L) ->
+    (log_prob (L, B, n_classes), alpha, alpha_f, alpha_b).
+
+    Reference quirk preserved: ``dropout_rec`` is applied to the scans'
+    internals, but the post-scan dropout on emotions uses rate
+    ``dropout + 0.15`` (model.py:1004).
+    """
+
+    D_m: int
+    D_g: int
+    D_p: int
+    D_e: int
+    D_h: int
+    n_classes: int = 7
+    listener_state: bool = False
+    context_attention: str = "simple"
+    D_a: int = 100
+    dropout_rec: float = 0.5
+    dropout: float = 0.5
+    att2: bool = True
+    deterministic: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, U, qmask, umask):
+        drop_rec = lambda v: nn.Dropout(self.dropout + 0.15)(
+            v, deterministic=self.deterministic
+        )
+        rnn_args = dict(
+            D_m=self.D_m,
+            D_g=self.D_g,
+            D_p=self.D_p,
+            D_e=self.D_e,
+            listener_state=self.listener_state,
+            context_attention=self.context_attention,
+            D_a=self.D_a,
+            dropout=self.dropout_rec,
+            deterministic=self.deterministic,
+            dtype=self.dtype,
+        )
+        emotions_f, alpha_f = DialogueRNN(**rnn_args, name="dialog_rnn_f")(U, qmask)
+        emotions_f = drop_rec(emotions_f)
+        rev_U = reverse_padded(U, umask)
+        rev_qmask = reverse_padded(qmask, umask)
+        emotions_b, alpha_b = DialogueRNN(**rnn_args, name="dialog_rnn_r")(
+            rev_U, rev_qmask
+        )
+        emotions_b = reverse_padded(emotions_b, umask)
+        emotions_b = drop_rec(emotions_b)
+        emotions = jnp.concatenate([emotions_f, emotions_b], axis=-1)  # (L, B, 2D_e)
+
+        if self.att2:
+            att_emotions, alpha = MatchingAttention(
+                2 * self.D_e, 2 * self.D_e, att_type="general2", name="matchatt"
+            )(emotions, emotions, umask)
+            hidden = nn.relu(TorchLinear(2 * self.D_h, name="linear")(att_emotions))
+            alpha = alpha[:, :, 0, :]  # (L, B, L)
+        else:
+            hidden = nn.relu(TorchLinear(2 * self.D_h, name="linear")(emotions))
+            alpha = None
+        hidden = nn.Dropout(self.dropout)(hidden, deterministic=self.deterministic)
+        logits = TorchLinear(self.n_classes, name="smax_fc")(hidden)
+        log_prob = jax.nn.log_softmax(logits.astype(jnp.float32), axis=2)
+        return log_prob, alpha, alpha_f, alpha_b

@@ -104,7 +104,10 @@ class MatchingAttention(nn.Module):
             scores = jnp.tanh(scores * mask[None, :, :])
             alpha = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
             alpha = alpha * mask[None, :, :]
-            alpha = alpha / jnp.sum(alpha, axis=-1, keepdims=True)
+            # epsilon-guard: an all-masked row (empty history at t=0 in the
+            # DialogueRNN scan) yields alpha == 0 rather than 0/0 NaN; with any
+            # valid position the sum is >= 1/L and the guard is inert.
+            alpha = alpha / jnp.maximum(jnp.sum(alpha, axis=-1, keepdims=True), 1e-30)
             alpha = alpha.astype(M.dtype)
         elif self.att_type == "concat":
             # (T, B, L, mem+cand)
