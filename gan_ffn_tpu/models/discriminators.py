@@ -59,12 +59,13 @@ class AcousticDiscriminator(nn.Module):
 
     D_h: int
     dropout: float = 0.2
+    num_layers: int = 8
     dtype: Any = None
 
     @nn.compact
     def __call__(self, fusion, valid_len=None, deterministic: bool = True):
         return _TransformerDiscriminator(
-            d_model=self.D_h, nhead=10, dropout=self.dropout, dtype=self.dtype, name="net"
+            d_model=self.D_h, nhead=10, dropout=self.dropout, num_layers=self.num_layers, dtype=self.dtype, name="net"
         )(fusion, valid_len=valid_len, deterministic=deterministic)
 
 
@@ -77,6 +78,7 @@ class VisualDiscriminator(nn.Module):
 
     D_h: int
     dropout: float = 0.2
+    num_layers: int = 8
     dtype: Any = None
 
     @nn.compact
@@ -84,7 +86,7 @@ class VisualDiscriminator(nn.Module):
         if fusion.shape[-1] == 512:
             fusion = TorchLinear(100, name="object", dtype=self.dtype)(fusion)
         return _TransformerDiscriminator(
-            d_model=self.D_h, nhead=10, dropout=self.dropout, dtype=self.dtype, name="net"
+            d_model=self.D_h, nhead=10, dropout=self.dropout, num_layers=self.num_layers, dtype=self.dtype, name="net"
         )(fusion, valid_len=valid_len, deterministic=deterministic)
 
 
@@ -93,10 +95,11 @@ class TextDiscriminator(nn.Module):
 
     D_h: int
     dropout: float = 0.2
+    num_layers: int = 8
     dtype: Any = None
 
     @nn.compact
     def __call__(self, fusion, valid_len=None, deterministic: bool = True):
         return _TransformerDiscriminator(
-            d_model=self.D_h, nhead=10, dropout=self.dropout, dtype=self.dtype, name="net"
+            d_model=self.D_h, nhead=10, dropout=self.dropout, num_layers=self.num_layers, dtype=self.dtype, name="net"
         )(fusion, valid_len=valid_len, deterministic=deterministic)

@@ -41,17 +41,18 @@ class GAN_FFN(nn.Module):
     dropout: float = 0.2  # classifier-level dropout (unused in forward, as in reference)
     D_h: int = 100
     gen_dropout: float = 0.2
+    gen_num_layers: int = 8
     dtype: Any = None
 
     @nn.compact
     def __call__(self, acoustic, visual, text, valid_len=None, deterministic: bool = True):
-        a = AcousticGenerator(self.D_h, self.gen_dropout, self.dtype, name="acoustic_generator")(
+        a = AcousticGenerator(self.D_h, self.gen_dropout, self.gen_num_layers, self.dtype, name="acoustic_generator")(
             acoustic, valid_len=valid_len, deterministic=deterministic
         )
-        v = VisualGenerator(self.D_h, self.gen_dropout, self.dtype, name="visual_generator")(
+        v = VisualGenerator(self.D_h, self.gen_dropout, self.gen_num_layers, self.dtype, name="visual_generator")(
             visual, valid_len=valid_len, deterministic=deterministic
         )
-        t = TextGenerator(self.D_h, self.gen_dropout, self.dtype, name="text_generator")(
+        t = TextGenerator(self.D_h, self.gen_dropout, self.gen_num_layers, self.dtype, name="text_generator")(
             text, valid_len=valid_len, deterministic=deterministic
         )
         fusion = a + v + t  # (L, B, D_h)
@@ -75,19 +76,20 @@ class GAN_FFN_DialogueRNN(nn.Module):
     dropout_rec: float = 0.1
     dropout: float = 0.6
     gen_dropout: float = 0.2
+    gen_num_layers: int = 8
     deterministic: bool = True
     dtype: Any = None
 
     @nn.compact
     def __call__(self, acoustic, visual, text, qmask, umask, valid_len=None):
         det = self.deterministic
-        a = AcousticGenerator(self.D_h, self.gen_dropout, self.dtype, name="acoustic_generator")(
+        a = AcousticGenerator(self.D_h, self.gen_dropout, self.gen_num_layers, self.dtype, name="acoustic_generator")(
             acoustic, valid_len=valid_len, deterministic=det
         )
-        v = VisualGenerator(self.D_h, self.gen_dropout, self.dtype, name="visual_generator")(
+        v = VisualGenerator(self.D_h, self.gen_dropout, self.gen_num_layers, self.dtype, name="visual_generator")(
             visual, valid_len=valid_len, deterministic=det
         )
-        t = TextGenerator(self.D_h, self.gen_dropout, self.dtype, name="text_generator")(
+        t = TextGenerator(self.D_h, self.gen_dropout, self.gen_num_layers, self.dtype, name="text_generator")(
             text, valid_len=valid_len, deterministic=det
         )
         fusion = a + v + t  # (L, B, D_h == D_m)

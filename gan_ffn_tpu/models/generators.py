@@ -72,6 +72,7 @@ class AcousticGenerator(nn.Module):
 
     D_h: int
     dropout: float = 0.2
+    num_layers: int = 8
     dtype: Any = None
 
     @nn.compact
@@ -82,6 +83,7 @@ class AcousticGenerator(nn.Module):
             d_hidden=512,
             d_out=self.D_h,
             dropout=self.dropout,
+            num_layers=self.num_layers,
             dtype=self.dtype,
             name="net",
         )(acoustic, valid_len=valid_len, deterministic=deterministic)
@@ -92,6 +94,7 @@ class VisualGenerator(nn.Module):
 
     D_h: int
     dropout: float = 0.2
+    num_layers: int = 8
     dtype: Any = None
 
     @nn.compact
@@ -102,6 +105,7 @@ class VisualGenerator(nn.Module):
             d_hidden=1024,
             d_out=self.D_h,
             dropout=self.dropout,
+            num_layers=self.num_layers,
             dtype=self.dtype,
             name="net",
         )(visual, valid_len=valid_len, deterministic=deterministic)
@@ -112,6 +116,7 @@ class TextGenerator(nn.Module):
 
     D_h: int
     dropout: float = 0.2
+    num_layers: int = 8
     dtype: Any = None
 
     @nn.compact
@@ -122,6 +127,7 @@ class TextGenerator(nn.Module):
             d_hidden=512,
             d_out=self.D_h,
             dropout=self.dropout,
+            num_layers=self.num_layers,
             dtype=self.dtype,
             name="net",
         )(text, valid_len=valid_len, deterministic=deterministic)

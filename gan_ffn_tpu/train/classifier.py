@@ -1,0 +1,103 @@
+"""Jitted classifier train/eval steps (reference train_or_eval_model,
+train_IEMOCAP.py:103-197).
+
+One compiled step per bucket shape computes the forward pass, masked NLL, the
+backward pass, the Adam update, and per-utterance argmax predictions. The
+reference's per-batch device syncs (``.cpu().numpy()`` after every batch)
+collapse to one small host transfer of (loss, preds).
+
+Learning-rate quirk preserved: the reference re-creates a
+``LambdaLR(0.98**epoch)`` scheduler inside the batch loop every iteration
+(train_IEMOCAP.py:129-133,170). Since LambdaLR resets the group lr to
+``initial_lr * 0.98^0`` on construction and ``optimizer.step`` runs before
+``scheduler.step``, every optimizer step actually uses the BASE lr — i.e. the
+effective schedule is constant lr. ``lr_schedule="reference"`` replicates
+that; ``"decay"`` applies an honest 0.98^epoch decay.
+
+Generator grafting: ``graft_generator_params`` moves adversarially
+pre-trained generator params into a classifier param tree (the reference
+passes trained generator *objects* into GAN_FFN's constructor,
+train_IEMOCAP.py:629-635); the generators then fine-tune with the classifier
+loss exactly as in the reference (train_IEMOCAP.py:661).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..nn.losses import masked_nll_loss
+from .optim import torch_adam
+
+# (params, opt_state) pytree pair
+ClassifierState = Dict[str, Any]
+
+GENERATOR_KEYS = ("acoustic_generator", "visual_generator", "text_generator")
+
+
+def graft_generator_params(classifier_params: Dict, gan_params: Dict) -> Dict:
+    """Replace the classifier's generator subtrees with GAN-trained ones.
+
+    ``gan_params`` maps {"acoustic_gen": ..., "visual_gen": ..., "text_gen": ...}
+    (the GANState param dict).
+    """
+    out = dict(classifier_params)
+    mapping = {
+        "acoustic_generator": "acoustic_gen",
+        "visual_generator": "visual_gen",
+        "text_generator": "text_gen",
+    }
+    for clf_key, gan_key in mapping.items():
+        out[clf_key] = gan_params[gan_key]
+    return out
+
+
+def init_classifier_state(
+    params: Dict, optimizer: optax.GradientTransformation
+) -> ClassifierState:
+    return {"params": params, "opt": optimizer.init(params)}
+
+
+def make_classifier_steps(
+    apply_train: Callable,
+    apply_eval: Callable,
+    optimizer: optax.GradientTransformation,
+    n_classes: int,
+    loss_weights: Optional[jnp.ndarray] = None,
+):
+    """Build (train_step, eval_step).
+
+    ``apply_train(params, rng, batch) -> log_prob (L, B, C)`` runs the model
+    with dropout active; ``apply_eval(params, batch)`` deterministic.
+
+    Both steps return ``(loss, preds (B*L,))``; labels/masks stay on host in
+    the epoch loop. Loss/pred flattening matches the reference: log-probs are
+    transposed batch-first then flattened (train_IEMOCAP.py:154-158).
+    """
+
+    def loss_and_preds(log_prob, batch):
+        lp = log_prob.transpose(1, 0, 2).reshape(-1, n_classes)  # (B*L, C)
+        labels = batch["label"].reshape(-1)
+        loss = masked_nll_loss(lp, labels, batch["umask"], loss_weights)
+        preds = jnp.argmax(lp, axis=1)
+        return loss, preds
+
+    def train_step(state: ClassifierState, rng, batch):
+        def loss_fn(p):
+            log_prob = apply_train(p, rng, batch)
+            loss, preds = loss_and_preds(log_prob, batch)
+            return loss, preds
+
+        (loss, preds), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        updates, opt = optimizer.update(grads, state["opt"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt": opt}, loss, preds
+
+    def eval_step(params, batch):
+        log_prob = apply_eval(params, batch)
+        return loss_and_preds(log_prob, batch)
+
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)

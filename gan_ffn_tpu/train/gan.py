@@ -1,0 +1,230 @@
+"""The adversarial engine: the 12-step cross-modal duel schedule as ONE
+compiled XLA program.
+
+The reference runs, per batch, 12 sequential eager train calls — 6
+discriminator duels and 6 generator duels in a fixed round-robin
+(train_IEMOCAP.py:355-382), each with its own ``zero_grad/forward/backward/
+step`` and a forced device sync (``.cpu().detach().numpy()``,
+train_IEMOCAP.py:224,249). Here the entire schedule — 12 loss evaluations, 12
+grads, 12 optimizer updates — is traced into a single jitted function with the
+updated params *threaded sequentially* through the sub-steps, which is
+required for training-dynamics parity: each generator update must see the
+just-updated discriminator and vice versa (SURVEY.md §7 "hard parts").
+
+Mode semantics preserved from the reference:
+- ``train_disc`` (train_IEMOCAP.py:200-227): disc in train mode (dropout on),
+  generator in eval mode (dropout off), fake fusion detached;
+- ``train_gen`` (train_IEMOCAP.py:230-252): generator train mode, disc eval;
+- BCE targets cover every (t, b) position of the reference's dynamically
+  padded batch — reproduced via a mask (t < batch max len, b < n_real);
+- per-modality Adam hyperparams: generators at ``lr`` (text at ``lr*1.1``),
+  discriminators at ``lr/2``, betas (b1, b2) (train_IEMOCAP.py:292-297);
+- the loss dict's duplicate-key overwrites (each D appears in two duels, only
+  the 2nd write is logged) are replicated by ``LOGGED_LOSS_KEYS``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import (
+    AcousticDiscriminator,
+    AcousticGenerator,
+    TextDiscriminator,
+    TextGenerator,
+    VisualDiscriminator,
+    VisualGenerator,
+)
+from ..nn.losses import bce_loss
+from .optim import torch_adam
+
+GEN_NAMES = ("acoustic_gen", "visual_gen", "text_gen")
+DISC_NAMES = ("acoustic_disc", "visual_disc", "text_disc")
+
+# The 12-duel schedule (train_IEMOCAP.py:355-382):
+# (kind, net, real-input modality for the net, opponent, opponent's modality)
+DUEL_SCHEDULE = (
+    ("disc", "visual_disc", "visual", "acoustic_gen", "acoustic", "visual_D_loss"),
+    ("gen", "acoustic_gen", "acoustic", "visual_disc", None, "acoustic_G_loss"),
+    ("disc", "visual_disc", "visual", "text_gen", "text", "visual_D_loss"),
+    ("gen", "text_gen", "text", "visual_disc", None, "text_G_loss"),
+    ("disc", "text_disc", "text", "acoustic_gen", "acoustic", "text_D_loss"),
+    ("gen", "acoustic_gen", "acoustic", "text_disc", None, "acoustic_G_loss"),
+    ("disc", "acoustic_disc", "acoustic", "text_gen", "text", "acoustic_D_loss"),
+    ("gen", "text_gen", "text", "acoustic_disc", None, "text_G_loss"),
+    ("disc", "text_disc", "text", "visual_gen", "visual", "text_D_loss"),
+    ("gen", "visual_gen", "visual", "text_disc", None, "visual_G_loss"),
+    ("disc", "acoustic_disc", "acoustic", "visual_gen", "visual", "acoustic_D_loss"),
+    ("gen", "visual_gen", "visual", "acoustic_disc", None, "visual_G_loss"),
+)
+
+# Reference loss-dict columns in CSV order (train_IEMOCAP.py:308-317); each key
+# keeps only its LAST write in the schedule above.
+LOGGED_LOSS_KEYS = (
+    "acoustic_G_loss",
+    "visual_G_loss",
+    "text_G_loss",
+    "visual_D_loss",
+    "text_D_loss",
+    "acoustic_D_loss",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class GANConfig:
+    D_h: int = 100
+    dropout: float = 0.2
+    num_layers: int = 8
+    lr: float = 1e-4
+    b1: float = 0.5
+    b2: float = 0.6
+    dtype: Any = None
+    seed: int = 3407
+
+
+def create_gan_modules(cfg: GANConfig) -> Dict[str, Any]:
+    kw = dict(D_h=cfg.D_h, dropout=cfg.dropout, num_layers=cfg.num_layers, dtype=cfg.dtype)
+    return {
+        "acoustic_gen": AcousticGenerator(**kw),
+        "visual_gen": VisualGenerator(**kw),
+        "text_gen": TextGenerator(**kw),
+        "acoustic_disc": AcousticDiscriminator(**kw),
+        "visual_disc": VisualDiscriminator(**kw),
+        "text_disc": TextDiscriminator(**kw),
+    }
+
+
+def create_gan_optimizers(cfg: GANConfig) -> Dict[str, optax.GradientTransformation]:
+    """Per-network Adam: gens at lr (text lr*1.1), discs at lr/2
+    (train_IEMOCAP.py:292-297)."""
+    return {
+        "acoustic_gen": torch_adam(cfg.lr, cfg.b1, cfg.b2),
+        "visual_gen": torch_adam(cfg.lr, cfg.b1, cfg.b2),
+        "text_gen": torch_adam(cfg.lr * 1.1, cfg.b1, cfg.b2),
+        "acoustic_disc": torch_adam(cfg.lr / 2, cfg.b1, cfg.b2),
+        "visual_disc": torch_adam(cfg.lr / 2, cfg.b1, cfg.b2),
+        "text_disc": torch_adam(cfg.lr / 2, cfg.b1, cfg.b2),
+    }
+
+
+# GANState is a plain pytree: {"params": {name: tree}, "opt": {name: tree}}
+GANState = Dict[str, Dict[str, Any]]
+
+_MODALITY_DIM = {"acoustic": 100, "visual": 512, "text": 100}
+
+
+def init_gan_state(cfg: GANConfig, rng: jax.Array, seq_len: int = 16, batch: int = 2) -> GANState:
+    """Initialize all six networks + their optimizer states.
+
+    The visual discriminator is initialized on BOTH its input widths (raw
+    512-d real path and 100-d fusion path) so the ``object`` projection params
+    exist.
+    """
+    modules = create_gan_modules(cfg)
+    opts = create_gan_optimizers(cfg)
+    keys = jax.random.split(rng, len(modules))
+    params: Dict[str, Any] = {}
+    for key, (name, module) in zip(keys, modules.items()):
+        if name.endswith("_gen"):
+            d_in = _MODALITY_DIM[name.split("_")[0]]
+        elif name == "visual_disc":
+            d_in = 512  # raw path; also creates the `object` projection
+        else:
+            d_in = cfg.D_h
+        x = jnp.zeros((seq_len, batch, d_in), dtype=jnp.float32)
+        params[name] = module.init({"params": key}, x)["params"]
+    opt = {name: opts[name].init(params[name]) for name in modules}
+    return {"params": params, "opt": opt}
+
+
+def _duel_mask(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """(L, B, 1) mask covering the positions the reference's dynamically
+    shaped BCE targets cover: t < batch max length AND real dialogue column."""
+    L, B = batch["text"].shape[0], batch["text"].shape[1]
+    t = jax.lax.broadcasted_iota(jnp.int32, (L, B), 0)
+    b = jax.lax.broadcasted_iota(jnp.int32, (L, B), 1)
+    mask = (t < batch["valid_len"]) & (b < batch["n_real"])
+    return mask.astype(jnp.float32)[:, :, None]
+
+
+def make_gan_train_step(cfg: GANConfig):
+    """Build the jitted 12-duel train step.
+
+    step(state, batch, rng) -> (state, losses) where batch carries
+    text/visual/audio (L, B, D), valid_len (), n_real () and losses maps each
+    schedule entry index and the six logged CSV keys to scalars.
+    """
+    modules = create_gan_modules(cfg)
+    opts = create_gan_optimizers(cfg)
+
+    real_inputs = {"acoustic": "audio", "visual": "visual", "text": "text"}
+
+    def step(state: GANState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        params = dict(state["params"])
+        opt_state = dict(state["opt"])
+        mask = _duel_mask(batch)
+        valid_len = batch["valid_len"]
+        losses: Dict[str, jnp.ndarray] = {}
+
+        keys = jax.random.split(rng, 2 * len(DUEL_SCHEDULE))
+        for i, (kind, net, net_mod, opp, opp_mod, log_key) in enumerate(DUEL_SCHEDULE):
+            k1, k2 = keys[2 * i], keys[2 * i + 1]
+            if kind == "disc":
+                disc, gen = modules[net], modules[opp]
+                real_d = batch[real_inputs[net_mod]]
+                real_g = batch[real_inputs[opp_mod]]
+                gen_params = params[opp]
+
+                def disc_loss_fn(d_params):
+                    real_prob = disc.apply(
+                        {"params": d_params}, real_d, valid_len=valid_len,
+                        deterministic=False, rngs={"dropout": k1},
+                    )
+                    # generator in eval mode; fake detached (stop_gradient is
+                    # implicit: we only differentiate w.r.t. d_params)
+                    fusion = gen.apply(
+                        {"params": gen_params}, real_g, valid_len=valid_len,
+                        deterministic=True,
+                    )
+                    fake_prob = disc.apply(
+                        {"params": d_params}, jax.lax.stop_gradient(fusion),
+                        valid_len=valid_len, deterministic=False, rngs={"dropout": k2},
+                    )
+                    return (
+                        bce_loss(real_prob, jnp.ones_like(real_prob), mask)
+                        + bce_loss(fake_prob, jnp.zeros_like(fake_prob), mask)
+                    ) / 2.0
+
+                loss, grads = jax.value_and_grad(disc_loss_fn)(params[net])
+            else:
+                gen, disc = modules[net], modules[opp]
+                real_g = batch[real_inputs[net_mod]]
+                disc_params = params[opp]
+
+                def gen_loss_fn(g_params):
+                    fusion = gen.apply(
+                        {"params": g_params}, real_g, valid_len=valid_len,
+                        deterministic=False, rngs={"dropout": k1},
+                    )
+                    prob = disc.apply(
+                        {"params": disc_params}, fusion, valid_len=valid_len,
+                        deterministic=True,
+                    )
+                    return bce_loss(prob, jnp.ones_like(prob), mask)
+
+                loss, grads = jax.value_and_grad(gen_loss_fn)(params[net])
+
+            updates, opt_state[net] = opts[net].update(grads, opt_state[net], params[net])
+            params[net] = optax.apply_updates(params[net], updates)
+            losses[f"duel_{i}"] = loss
+            losses[log_key] = loss  # duplicate-key overwrite, as in reference
+
+        return {"params": params, "opt": opt_state}, losses
+
+    return jax.jit(step, donate_argnums=(0,))

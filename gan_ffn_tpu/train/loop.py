@@ -1,0 +1,91 @@
+"""Epoch loops: device feeding, metric accumulation (reference
+train_or_eval_model, train_IEMOCAP.py:103-197).
+
+Per-epoch outputs mirror the reference tuple: (avg_loss, avg_accuracy, labels,
+preds, masks, weighted_f1). avg_loss is the reference's mask-weighted batch
+average: sum_b(loss_b * mask_sum_b) / sum_b(mask_sum_b).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loaders import Batch
+from ..evaluation.metrics import accuracy_score, f1_score
+
+
+def batch_to_arrays(batch: Batch, with_visual: bool = True) -> Dict[str, jnp.ndarray]:
+    """Host Batch -> device array dict with static shapes + scalar metadata."""
+    arrays = {
+        "text": jnp.asarray(batch.text),
+        "audio": jnp.asarray(batch.audio),
+        "qmask": jnp.asarray(batch.qmask),
+        "umask": jnp.asarray(batch.umask),
+        "label": jnp.asarray(batch.label),
+        "valid_len": jnp.asarray(int(batch.umask.sum(axis=1).max()), dtype=jnp.int32),
+        "n_real": jnp.asarray(batch.n_real, dtype=jnp.int32),
+    }
+    if with_visual and batch.visual is not None:
+        arrays["visual"] = jnp.asarray(batch.visual)
+    return arrays
+
+
+@dataclasses.dataclass
+class EpochResult:
+    avg_loss: float
+    avg_accuracy: float
+    labels: np.ndarray
+    preds: np.ndarray
+    masks: np.ndarray
+    avg_fscore: float
+
+
+def run_epoch(
+    loader: Iterable[Batch],
+    state,
+    train_step: Optional[Callable] = None,
+    eval_step: Optional[Callable] = None,
+    rng: Optional[jax.Array] = None,
+    with_visual: bool = True,
+):
+    """Run one epoch. With ``train_step`` set, trains (threading state through
+    steps) and returns (state, EpochResult); otherwise evaluates with
+    ``eval_step`` and returns EpochResult.
+    """
+    losses: List[float] = []
+    all_preds: List[np.ndarray] = []
+    all_labels: List[np.ndarray] = []
+    all_masks: List[np.ndarray] = []
+
+    n_batches = 0
+    for batch in loader:
+        arrays = batch_to_arrays(batch, with_visual=with_visual)
+        if train_step is not None:
+            rng, sub = jax.random.split(rng)
+            state, loss, preds = train_step(state, sub, arrays)
+        else:
+            loss, preds = eval_step(state, arrays)
+        mask_flat = batch.umask.reshape(-1)
+        losses.append(float(loss) * mask_flat.sum())
+        all_preds.append(np.asarray(preds))
+        all_labels.append(batch.label.reshape(-1))
+        all_masks.append(mask_flat)
+        n_batches += 1
+
+    if n_batches == 0:
+        empty = EpochResult(float("nan"), float("nan"), np.array([]), np.array([]), np.array([]), float("nan"))
+        return (state, empty) if train_step is not None else empty
+
+    preds = np.concatenate(all_preds)
+    labels = np.concatenate(all_labels)
+    masks = np.concatenate(all_masks)
+    avg_loss = round(float(np.sum(losses) / np.sum(masks)), 4)
+    avg_acc = round(accuracy_score(labels, preds, sample_weight=masks) * 100, 2)
+    avg_f1 = round(f1_score(labels, preds, sample_weight=masks, average="weighted") * 100, 2)
+    result = EpochResult(avg_loss, avg_acc, labels, preds, masks, avg_f1)
+    return (state, result) if train_step is not None else result

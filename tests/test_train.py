@@ -1,0 +1,196 @@
+"""Training-engine tests: the jitted 12-duel GAN step, classifier steps,
+generator grafting, and a miniature end-to-end IEMOCAP slice."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gan_ffn_tpu.data import get_iemocap_loaders
+from gan_ffn_tpu.models import GAN_FFN
+from gan_ffn_tpu.train import (
+    GANConfig,
+    init_classifier_state,
+    init_gan_state,
+    make_classifier_steps,
+    make_gan_train_step,
+    run_epoch,
+    torch_adam,
+)
+from gan_ffn_tpu.train.classifier import graft_generator_params
+from gan_ffn_tpu.train.gan import LOGGED_LOSS_KEYS
+from gan_ffn_tpu.train.loop import batch_to_arrays
+
+L, B = 8, 2
+CFG = GANConfig(num_layers=1)
+
+
+def _gan_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "text": jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32)),
+        "visual": jnp.asarray(rng.normal(size=(L, B, 512)).astype(np.float32)),
+        "audio": jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32)),
+        "valid_len": jnp.asarray(L, dtype=jnp.int32),
+        "n_real": jnp.asarray(B, dtype=jnp.int32),
+    }
+
+
+def test_torch_adam_matches_torch():
+    import torch
+
+    w0 = np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32)
+    g = np.random.default_rng(1).normal(size=(4, 3)).astype(np.float32)
+
+    p_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt_t = torch.optim.Adam([p_t], lr=1e-2, betas=(0.5, 0.6), weight_decay=0.01)
+    for _ in range(3):
+        opt_t.zero_grad()
+        p_t.grad = torch.from_numpy(g.copy())
+        opt_t.step()
+
+    opt_j = torch_adam(1e-2, 0.5, 0.6, weight_decay=0.01)
+    params = jnp.asarray(w0)
+    state = opt_j.init(params)
+    for _ in range(3):
+        updates, state = opt_j.update(jnp.asarray(g), state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params), p_t.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_gan_state_init():
+    state = init_gan_state(CFG, jax.random.PRNGKey(0))
+    assert set(state["params"]) == {
+        "acoustic_gen", "visual_gen", "text_gen",
+        "acoustic_disc", "visual_disc", "text_disc",
+    }
+    assert "object" in state["params"]["visual_disc"]
+
+
+def test_gan_train_step_runs_and_updates():
+    state = init_gan_state(CFG, jax.random.PRNGKey(0))
+    step = make_gan_train_step(CFG)
+    before = jax.tree.map(np.asarray, state["params"]["acoustic_gen"])
+    batch = _gan_batch()
+    state, losses = step(state, batch, jax.random.PRNGKey(1))
+    for k in LOGGED_LOSS_KEYS:
+        assert np.isfinite(float(losses[k])), k
+    assert all(f"duel_{i}" in losses for i in range(12))
+    after = state["params"]["acoustic_gen"]
+    diffs = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()), after, before)
+    assert max(jax.tree.leaves(diffs)) > 0
+    # second step with same shapes: no retrace needed, still finite
+    state, losses2 = step(state, _gan_batch(1), jax.random.PRNGKey(2))
+    assert np.isfinite(float(losses2["visual_G_loss"]))
+
+
+def test_logged_loss_overwrite_semantics():
+    """Logged keys must equal the LAST duel writing them (reference dict
+    overwrite, train_IEMOCAP.py:355-382)."""
+    state = init_gan_state(CFG, jax.random.PRNGKey(0))
+    step = make_gan_train_step(CFG)
+    _, losses = step(state, _gan_batch(), jax.random.PRNGKey(1))
+    expected_src = {
+        "visual_D_loss": "duel_2",
+        "acoustic_G_loss": "duel_5",
+        "acoustic_D_loss": "duel_10",
+        "text_G_loss": "duel_7",
+        "text_D_loss": "duel_8",
+        "visual_G_loss": "duel_11",
+    }
+    for key, duel in expected_src.items():
+        assert float(losses[key]) == float(losses[duel]), (key, duel)
+
+
+def _make_gan_ffn_steps(model, loss_weights=None, lr=1e-3):
+    def apply_train(params, rng, batch):
+        return model.apply(
+            {"params": params},
+            batch["audio"], batch["visual"], batch["text"],
+            valid_len=batch["valid_len"], deterministic=False,
+            rngs={"dropout": rng},
+        )[0]
+
+    def apply_eval(params, batch):
+        return model.apply(
+            {"params": params},
+            batch["audio"], batch["visual"], batch["text"],
+            valid_len=batch["valid_len"], deterministic=True,
+        )[0]
+
+    opt = torch_adam(lr, weight_decay=0.008)
+    train_step, eval_step = make_classifier_steps(
+        apply_train, apply_eval, opt, n_classes=6, loss_weights=loss_weights
+    )
+    return train_step, eval_step, opt
+
+
+def test_graft_and_classifier_step():
+    gan_state = init_gan_state(CFG, jax.random.PRNGKey(0))
+    model = GAN_FFN(n_classes=6, gen_num_layers=1)
+    batch = _gan_batch()
+    batch["label"] = jnp.asarray(np.random.default_rng(2).integers(0, 6, size=(B, L)))
+    batch["umask"] = jnp.asarray(np.ones((B, L), dtype=np.float32))
+
+    params = model.init(
+        jax.random.PRNGKey(3), batch["audio"], batch["visual"], batch["text"]
+    )["params"]
+    grafted = graft_generator_params(params, gan_state["params"])
+    # grafted generator subtree IS the GAN-trained one
+    a0 = jax.tree.leaves(grafted["acoustic_generator"])[0]
+    b0 = jax.tree.leaves(gan_state["params"]["acoustic_gen"])[0]
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))
+
+    train_step, eval_step, opt = _make_gan_ffn_steps(model)
+    state = init_classifier_state(grafted, opt)
+    state, loss, preds = train_step(state, jax.random.PRNGKey(4), batch)
+    assert np.isfinite(float(loss))
+    assert preds.shape == (B * L,)
+    loss_e, preds_e = eval_step(state["params"], batch)
+    assert np.isfinite(float(loss_e))
+
+
+def test_mini_end_to_end_iemocap_slice(iemocap_pickle):
+    """GAN pre-train (1 epoch) -> graft -> classifier train (2 epochs) -> eval.
+
+    On class-separable synthetic features the train loss must drop.
+    """
+    train_loader, valid_loader, test_loader = get_iemocap_loaders(
+        iemocap_pickle, batch_size=8, valid=0.1, buckets=(48,)
+    )
+    cfg = GANConfig(num_layers=1)
+    gan_state = init_gan_state(cfg, jax.random.PRNGKey(0))
+    gan_step = make_gan_train_step(cfg)
+    rng = jax.random.PRNGKey(1)
+    for batch in train_loader:
+        arrays = batch_to_arrays(batch)
+        gan_batch = {
+            "text": arrays["text"], "visual": arrays["visual"], "audio": arrays["audio"],
+            "valid_len": arrays["valid_len"], "n_real": arrays["n_real"],
+        }
+        rng, sub = jax.random.split(rng)
+        gan_state, losses = gan_step(gan_state, gan_batch, sub)
+    assert np.isfinite(float(losses["acoustic_G_loss"]))
+
+    model = GAN_FFN(n_classes=6, gen_num_layers=1)
+    sample = batch_to_arrays(next(iter(train_loader)))
+    params = model.init(
+        jax.random.PRNGKey(2), sample["audio"], sample["visual"], sample["text"]
+    )["params"]
+    params = graft_generator_params(params, gan_state["params"])
+    train_step, eval_step, opt = _make_gan_ffn_steps(model, lr=1e-3)
+    state = init_classifier_state(params, opt)
+
+    losses = []
+    for epoch in range(3):
+        state, res = run_epoch(
+            train_loader, state, train_step=train_step, rng=jax.random.PRNGKey(10 + epoch)
+        )
+        losses.append(res.avg_loss)
+    assert losses[-1] < losses[0], losses
+
+    test_res = run_epoch(test_loader, state["params"], eval_step=eval_step)
+    assert np.isfinite(test_res.avg_loss)
+    assert 0 <= test_res.avg_fscore <= 100
+    assert len(test_res.labels) == len(test_res.preds) == len(test_res.masks)
