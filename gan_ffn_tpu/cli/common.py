@@ -1,0 +1,117 @@
+"""Shared wiring for the CLI entry points.
+
+Implements the reference's two-stage pipeline (adversarial GAN pre-training,
+then downstream classifier) as reusable functions so the IEMOCAP, DialogueRNN
+and bench entry points share one code path.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loaders import BucketedLoader
+from ..train.gan import (
+    GANConfig,
+    GANState,
+    LOGGED_LOSS_KEYS,
+    init_gan_state,
+    make_gan_train_step,
+)
+from ..train.loop import batch_to_arrays
+from ..utils.artifacts import LossHistory, append_loss_row
+
+# IEMOCAP class weights (train_IEMOCAP.py:653)
+IEMOCAP_LOSS_WEIGHTS = np.array(
+    [1.2, 0.60072, 0.38066, 0.94019, 0.67924, 0.34332], dtype=np.float32
+)
+
+
+def gan_batch_from(arrays: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {
+        "text": arrays["text"],
+        "visual": arrays["visual"],
+        "audio": arrays["audio"],
+        "valid_len": arrays["valid_len"],
+        "n_real": arrays["n_real"],
+    }
+
+
+def train_gan(
+    cfg: GANConfig,
+    train_loader: BucketedLoader,
+    epochs: int,
+    state: Optional[GANState] = None,
+    history: Optional[LossHistory] = None,
+    start_epoch: int = 0,
+    rng: Optional[jax.Array] = None,
+    log: Callable[[str], None] = print,
+    log_every_batch: bool = True,
+) -> Tuple[GANState, LossHistory]:
+    """Adversarial pre-training stage (reference train_GAN,
+    train_IEMOCAP.py:255-393).
+
+    Appends one loss row per epoch (the last batch's losses) to ``history``,
+    replicating the reference CSV cadence.
+    """
+    if state is None:
+        state = init_gan_state(cfg, jax.random.PRNGKey(cfg.seed))
+    if history is None:
+        history = []
+    if rng is None:
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+    step = make_gan_train_step(cfg)
+
+    log("=" * 15 + " start training GAN " + "=" * 15)
+    for epoch in range(start_epoch, start_epoch + epochs):
+        t0 = time.time()
+        utterances = 0
+        last_losses = None
+        for batch in train_loader:
+            arrays = batch_to_arrays(batch)
+            rng, sub = jax.random.split(rng)
+            state, losses = step(state, gan_batch_from(arrays), sub)
+            utterances += batch.n_utterances
+            last_losses = losses
+            if log_every_batch:
+                vals = " ".join(
+                    f"{k}={float(losses[k]):.4f}" for k in LOGGED_LOSS_KEYS
+                )
+                log(f"GAN epoch {epoch} {vals}")
+        dt = time.time() - t0
+        if last_losses is not None:
+            append_loss_row(history, epoch, {k: float(last_losses[k]) for k in LOGGED_LOSS_KEYS})
+        log(
+            f"GAN epoch {epoch} done in {dt:.2f}s "
+            f"({12 * utterances / max(dt, 1e-9):.1f} duel-utterances/sec)"
+        )
+    return state, history
+
+
+def make_gan_ffn_apply_fns(model):
+    """(apply_train, apply_eval) for the GAN_FFN flagship classifier."""
+
+    def apply_train(params, rng, batch):
+        return model.apply(
+            {"params": params},
+            batch["audio"], batch["visual"], batch["text"],
+            valid_len=batch["valid_len"], deterministic=False,
+            rngs={"dropout": rng},
+        )[0]
+
+    def apply_eval(params, batch):
+        return model.apply(
+            {"params": params},
+            batch["audio"], batch["visual"], batch["text"],
+            valid_len=batch["valid_len"], deterministic=True,
+        )[0]
+
+    return apply_train, apply_eval
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

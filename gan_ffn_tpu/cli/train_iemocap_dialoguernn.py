@@ -1,0 +1,187 @@
+"""IEMOCAP GAN-FFN + DialogueRNN entry point
+(reference train_IEMOCAP_DialogueRNN.py:547-837).
+
+Same GAN pre-training stage as train_iemocap; the downstream classifier is
+``GAN_FFN_DialogueRNN`` (fusion sum -> bidirectional DialogueRNN). Deltas from
+the flagship entry (reference defaults): batch 30, epochs 100, l2=1e-5,
+``--rec-dropout`` 0.1, ``--attention general`` (context attention type),
+``--active-listener``, ``--use-trained-GAN`` defaulting True; prints metrics
+only (no sweep report file).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import get_iemocap_loaders, write_synthetic_iemocap
+from ..evaluation.metrics import classification_report, confusion_matrix, f1_score
+from ..models import GAN_FFN_DialogueRNN
+from ..train.classifier import (
+    graft_generator_params,
+    init_classifier_state,
+    make_classifier_steps,
+)
+from ..train.gan import GANConfig, init_gan_state
+from ..train.loop import batch_to_arrays, run_epoch
+from ..train.optim import torch_adam
+from ..utils.artifacts import draw_gan_loss, save_gan_loss_csv
+from ..utils.checkpoint import load_gan_state, save_gan_state
+from .common import IEMOCAP_LOSS_WEIGHTS, param_count, train_gan
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="IEMOCAP GAN-FFN + DialogueRNN trainer")
+    p.add_argument("--no-cuda", action="store_true", default=False)
+    p.add_argument("--lr", type=float, default=0.0001, metavar="LR")
+    p.add_argument("--l2", type=float, default=0.00001, metavar="L2")
+    p.add_argument("--rec-dropout", type=float, default=0.1, metavar="rec_dropout")
+    p.add_argument("--dropout", type=float, default=0.6, metavar="dropout")
+    p.add_argument("--batch-size", type=int, default=30, metavar="BS")
+    p.add_argument("--epochs", type=int, default=100, metavar="E")
+    p.add_argument("--attention", default="general", help="context attention type")
+    p.add_argument("--GAN-epochs", type=int, default=150, metavar="E")
+    p.add_argument("--class-weight", action="store_true", default=True)
+    p.add_argument("--active-listener", action="store_true", default=False)
+    p.add_argument("--tensorboard", action="store_true", default=False)
+    p.add_argument("--use-trained-GAN", action="store_true", default=True)
+    p.add_argument("--fresh-GAN", dest="use_trained_GAN", action="store_false",
+                   help="train the GAN from scratch instead of loading")
+    # framework additions
+    p.add_argument("--data-path", default="data/iemocap/IEMOCAP_features.pkl")
+    p.add_argument("--synthetic", action="store_true", default=False)
+    p.add_argument("--output-dir", default="./output")
+    p.add_argument("--model-save-path", default="./GAN_save/")
+    p.add_argument("--num-layers", type=int, default=8)
+    p.add_argument("--bf16", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=3407)
+    p.add_argument("--synthetic-train", type=int, default=120)
+    p.add_argument("--synthetic-test", type=int, default=31)
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    print(args)
+    print(f"Running on {jax.devices()[0].platform}")
+
+    if args.synthetic and not os.path.exists(args.data_path):
+        write_synthetic_iemocap(
+            args.data_path, n_train=args.synthetic_train, n_test=args.synthetic_test,
+            seed=args.seed,
+        )
+        print(f"wrote synthetic features to {args.data_path}")
+
+    dtype = jnp.bfloat16 if args.bf16 else None
+    n_classes = 6
+    # DialogueRNN dims (train_IEMOCAP_DialogueRNN.py:635-641)
+    D_m, D_g, D_p, D_e, D_h, D_a = 100, 500, 500, 100, 100, 100
+
+    gan_cfg = GANConfig(
+        num_layers=args.num_layers, lr=0.0001, b1=0.5, b2=0.6, dtype=dtype,
+        seed=args.seed,
+    )
+    gan_train_loader, _, _ = get_iemocap_loaders(
+        args.data_path, batch_size=32, valid=0.1, seed=args.seed
+    )
+
+    if args.use_trained_GAN and os.path.exists(
+        os.path.join(args.model_save_path, "acoustic_gen.msgpack")
+    ):
+        template = init_gan_state(gan_cfg, jax.random.PRNGKey(args.seed))
+        gan_state = load_gan_state(args.model_save_path, template, reset_opt=True)
+        print("=" * 15, args.model_save_path + " loaded trained GAN", "=" * 15)
+    else:
+        gan_state, history = train_gan(gan_cfg, gan_train_loader, args.GAN_epochs)
+        save_gan_loss_csv(history, os.path.join(args.output_dir, "GAN_loss.csv"))
+        draw_gan_loss(history, os.path.join(args.output_dir, "GAN_loss.png"))
+        save_gan_state(args.model_save_path, gan_state)
+        print("=" * 15, "finished training GAN", "=" * 15)
+
+    model_kwargs = dict(
+        D_m=D_m, D_g=D_g, D_p=D_p, D_e=D_e, D_h=D_h, D_a=D_a,
+        n_classes=n_classes,
+        listener_state=args.active_listener,
+        context_attention=args.attention,
+        dropout_rec=args.rec_dropout,
+        dropout=args.dropout,
+        gen_num_layers=args.num_layers,
+        dtype=dtype,
+    )
+    model_train = GAN_FFN_DialogueRNN(**model_kwargs, deterministic=False)
+    model_eval = GAN_FFN_DialogueRNN(**model_kwargs, deterministic=True)
+
+    train_loader, valid_loader, test_loader = get_iemocap_loaders(
+        args.data_path, batch_size=args.batch_size, valid=0.1, seed=args.seed
+    )
+    sample = batch_to_arrays(next(iter(train_loader)))
+    params = model_eval.init(
+        jax.random.PRNGKey(args.seed),
+        sample["audio"], sample["visual"], sample["text"],
+        sample["qmask"], sample["umask"],
+    )["params"]
+    params = graft_generator_params(params, gan_state["params"])
+    print("Number of parameter: %.2fM" % (param_count(params) / 1e6))
+
+    def apply_eval(p, batch):
+        return model_eval.apply(
+            {"params": p},
+            batch["audio"], batch["visual"], batch["text"],
+            batch["qmask"], batch["umask"],
+            valid_len=batch["valid_len"],
+        )[0]
+
+    def apply_train(p, rng, batch):
+        return model_train.apply(
+            {"params": p},
+            batch["audio"], batch["visual"], batch["text"],
+            batch["qmask"], batch["umask"],
+            valid_len=batch["valid_len"], rngs={"dropout": rng},
+        )[0]
+
+    loss_weights = jnp.asarray(IEMOCAP_LOSS_WEIGHTS) if args.class_weight else None
+    optimizer = torch_adam(args.lr, weight_decay=args.l2)
+    train_step, eval_step = make_classifier_steps(
+        apply_train, apply_eval, optimizer, n_classes, loss_weights
+    )
+    state = init_classifier_state(params, optimizer)
+
+    best = None
+    rng = jax.random.PRNGKey(args.seed + 2)
+    for e in range(args.epochs):
+        start_time = time.time()
+        rng, sub = jax.random.split(rng)
+        state, train_res = run_epoch(train_loader, state, train_step=train_step, rng=sub)
+        valid_res = run_epoch(valid_loader, state["params"], eval_step=eval_step)
+        test_res = run_epoch(test_loader, state["params"], eval_step=eval_step)
+        if best is None or best[0] > test_res.avg_loss:
+            best = (test_res.avg_loss, test_res.labels, test_res.preds, test_res.masks)
+        elapsed = round(time.time() - start_time, 2)
+        print(
+            "epoch {} train_loss {} train_acc {} train_fscore {} valid_loss {} "
+            "valid_acc {} val_fscore {} test_loss {} test_acc {} test_fscore {} time {}".format(
+                e + 1,
+                train_res.avg_loss, train_res.avg_accuracy, train_res.avg_fscore,
+                valid_res.avg_loss, valid_res.avg_accuracy, valid_res.avg_fscore,
+                test_res.avg_loss, test_res.avg_accuracy, test_res.avg_fscore, elapsed,
+            )
+        )
+
+    best_loss, best_label, best_pred, best_mask = best
+    final_f1 = round(
+        f1_score(best_label, best_pred, sample_weight=best_mask, average="weighted") * 100, 2
+    )
+    print("Test performance..")
+    print("Loss {} F1-score {}".format(best_loss, final_f1))
+    print(classification_report(best_label, best_pred, sample_weight=best_mask, digits=4))
+    print(confusion_matrix(best_label, best_pred, sample_weight=best_mask))
+    return {"best_loss": best_loss, "f1": final_f1}
+
+
+if __name__ == "__main__":
+    main()

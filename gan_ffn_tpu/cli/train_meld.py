@@ -1,0 +1,142 @@
+"""MELD entry point (reference train_MELD.py:107-197).
+
+Plain ``MELDLSTMModel`` on text features only — the reference uses no GAN on
+MELD. n_classes = 7 (emotion) or 3 (sentiment); unweighted masked NLL; best
+snapshot by HIGHEST test F1 (train_MELD.py:175-177, unlike the IEMOCAP
+entries' min-test-loss rule); valid split 0.0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..data import get_meld_loaders, write_synthetic_meld
+from ..evaluation.metrics import classification_report, confusion_matrix, f1_score
+from ..models import MELDLSTMModel
+from ..train.classifier import init_classifier_state, make_classifier_steps
+from ..train.loop import batch_to_arrays, run_epoch
+from ..train.optim import torch_adam
+from .common import param_count
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MELD trainer (TPU-native)")
+    p.add_argument("--no-cuda", action="store_true", default=False)
+    p.add_argument("--lr", type=float, default=0.0003, metavar="LR")
+    p.add_argument("--l2", type=float, default=0.0001, metavar="L2")
+    p.add_argument("--dropout", type=float, default=0.6, metavar="dropout")
+    p.add_argument("--batch-size", type=int, default=32, metavar="BS")
+    p.add_argument("--epochs", type=int, default=50, metavar="E")
+    p.add_argument("--attention", action="store_true", default=True)
+    p.add_argument("--tensorboard", action="store_true", default=False)
+    p.add_argument("--classify", default="emotion", help="emotion or sentiment")
+    # framework additions
+    p.add_argument("--data-path", default="data/meld/MELD_features_raw.pkl")
+    p.add_argument("--synthetic", action="store_true", default=False)
+    p.add_argument("--bf16", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=3407)
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    print(args)
+    print(f"Running on {jax.devices()[0].platform}")
+
+    if args.synthetic and not os.path.exists(args.data_path):
+        write_synthetic_meld(args.data_path, seed=args.seed)
+        print(f"wrote synthetic features to {args.data_path}")
+
+    n_classes = 7 if args.classify == "emotion" else 3
+    D_m, D_e, D_h = 600, 300, 600  # train_MELD.py:143-145
+    dtype = jnp.bfloat16 if args.bf16 else None
+
+    model = MELDLSTMModel(
+        D_m=D_m, D_e=D_e, D_h=D_h, n_classes=n_classes, dropout=args.dropout, dtype=dtype
+    )
+    train_loader, valid_loader, test_loader = get_meld_loaders(
+        args.data_path, batch_size=args.batch_size, valid=0.0, classify=args.classify,
+        seed=args.seed,
+    )
+    sample = batch_to_arrays(next(iter(train_loader)), with_visual=False)
+    params = model.init(
+        jax.random.PRNGKey(args.seed), sample["text"], sample["qmask"], sample["umask"]
+    )["params"]
+    print("Number of parameter: %.2fM" % (param_count(params) / 1e6))
+
+    def apply_train(p, rng, batch):
+        return model.apply(
+            {"params": p}, batch["text"], batch["qmask"], batch["umask"],
+            deterministic=False, rngs={"dropout": rng},
+        )[0]
+
+    def apply_eval(p, batch):
+        return model.apply(
+            {"params": p}, batch["text"], batch["qmask"], batch["umask"],
+            deterministic=True,
+        )[0]
+
+    optimizer = torch_adam(args.lr, weight_decay=args.l2)
+    train_step, eval_step = make_classifier_steps(
+        apply_train, apply_eval, optimizer, n_classes, loss_weights=None
+    )
+    state = init_classifier_state(params, optimizer)
+
+    best = None  # (fscore, loss, labels, preds, masks)
+    rng = jax.random.PRNGKey(args.seed + 2)
+    for e in range(args.epochs):
+        start_time = time.time()
+        rng, sub = jax.random.split(rng)
+        state, train_res = run_epoch(
+            train_loader, state, train_step=train_step, rng=sub, with_visual=False
+        )
+        valid_res = run_epoch(
+            valid_loader, state["params"], eval_step=eval_step, with_visual=False
+        )
+        test_res = run_epoch(
+            test_loader, state["params"], eval_step=eval_step, with_visual=False
+        )
+        if best is None or best[0] < test_res.avg_fscore:
+            best = (
+                test_res.avg_fscore, test_res.avg_loss,
+                test_res.labels, test_res.preds, test_res.masks,
+            )
+        print(
+            "epoch {} train_loss {} train_acc {} train_fscore {} valid_loss {} "
+            "valid_acc {} val_fscore {} test_loss {} test_acc {} test_fscore {} time {}".format(
+                e + 1,
+                train_res.avg_loss, train_res.avg_accuracy, train_res.avg_fscore,
+                valid_res.avg_loss, valid_res.avg_accuracy, valid_res.avg_fscore,
+                test_res.avg_loss, test_res.avg_accuracy, test_res.avg_fscore,
+                round(time.time() - start_time, 2),
+            )
+        )
+        print(
+            classification_report(
+                test_res.labels, test_res.preds, sample_weight=test_res.masks, digits=4
+            )
+        )
+
+    best_fscore, best_loss, best_label, best_pred, best_mask = best
+    print("Test performance..")
+    print(
+        "Loss {} F1-score {}".format(
+            best_loss,
+            round(
+                f1_score(best_label, best_pred, sample_weight=best_mask, average="weighted")
+                * 100, 2,
+            ),
+        )
+    )
+    print(classification_report(best_label, best_pred, sample_weight=best_mask, digits=4))
+    print(confusion_matrix(best_label, best_pred, sample_weight=best_mask))
+    return {"best_loss": best_loss, "f1": best_fscore}
+
+
+if __name__ == "__main__":
+    main()

@@ -83,13 +83,21 @@ class MatchingAttention(nn.Module):
         if mask is None:
             mask = jnp.ones((B, L), dtype=M.dtype)
 
+        # For dot/general/concat the reference ignores `mask` because its
+        # callers pass only the valid history prefix (a dynamically-sized
+        # tensor). With a fixed-size buffer the same semantics require an
+        # additive -inf mask over invalid key positions.
+        def _masked_softmax(scores):  # scores (T, B, L)
+            s = jnp.where(mask[None, :, :] > 0, scores.astype(jnp.float32), NEG_INF)
+            return jax.nn.softmax(s, axis=-1).astype(M.dtype)
+
         if self.att_type == "dot":
             scores = jnp.einsum("tbd,lbd->tbl", x, M)
-            alpha = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(M.dtype)
+            alpha = _masked_softmax(scores)
         elif self.att_type == "general":
             xt = TorchLinear(self.mem_dim, use_bias=False, name="transform", dtype=self.dtype)(x)
             scores = jnp.einsum("tbd,lbd->tbl", xt, M)
-            alpha = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(M.dtype)
+            alpha = _masked_softmax(scores)
         elif self.att_type == "general2":
             # reference init: weight ~ N(0, 0.01), bias keeps torch Linear default
             xt = TorchLinear(
@@ -104,10 +112,13 @@ class MatchingAttention(nn.Module):
             scores = jnp.tanh(scores * mask[None, :, :])
             alpha = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
             alpha = alpha * mask[None, :, :]
-            # epsilon-guard: an all-masked row (empty history at t=0 in the
-            # DialogueRNN scan) yields alpha == 0 rather than 0/0 NaN; with any
-            # valid position the sum is >= 1/L and the guard is inert.
-            alpha = alpha / jnp.maximum(jnp.sum(alpha, axis=-1, keepdims=True), 1e-30)
+            # Safe renormalization: an all-masked row (empty history at t=0 in
+            # the DialogueRNN scan, or a fully-padded dialogue column) divides
+            # by 1 instead of 0 so neither the forward nor the division's
+            # backward produces NaN. With any valid position the sum is
+            # >= 1/L and the substitution is inert.
+            denom = jnp.sum(alpha, axis=-1, keepdims=True)
+            alpha = alpha / jnp.where(denom > 0, denom, 1.0)
             alpha = alpha.astype(M.dtype)
         elif self.att_type == "concat":
             # (T, B, L, mem+cand)
@@ -118,7 +129,7 @@ class MatchingAttention(nn.Module):
                 TorchLinear(self.alpha_dim, use_bias=False, name="transform", dtype=self.dtype)(mx)
             )
             scores = TorchLinear(1, use_bias=False, name="vector_prod", dtype=self.dtype)(mx_a)
-            alpha = jax.nn.softmax(scores[..., 0].astype(jnp.float32), axis=-1).astype(M.dtype)
+            alpha = _masked_softmax(scores[..., 0])
         else:
             raise ValueError(f"unknown att_type {self.att_type!r}")
 

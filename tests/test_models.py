@@ -204,3 +204,36 @@ def test_gan_ffn_train_mode_dropout_active():
     o1 = m.apply(params, a, v, t, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})[0]
     o2 = m.apply(params, a, v, t, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)})[0]
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_bimodel_partial_batch_gradients_finite():
+    """Regression: fully-padded dialogue columns must not produce NaN grads
+    (the general2 renormalization's backward on all-masked rows)."""
+    D_m, D_g, D_p, D_e, D_hh, C = 10, 8, 6, 5, 7, 6
+    m = BiModel(D_m, D_g, D_p, D_e, D_hh, n_classes=C, context_attention="general",
+                deterministic=True)
+    rng = np.random.default_rng(7)
+    U = jnp.asarray(rng.normal(size=(L, B, D_m)).astype(np.float32))
+    qmask_np = np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=(L, B))]
+    umask_np = np.zeros((B, L), dtype=np.float32)
+    umask_np[0, :] = 1.0
+    umask_np[1, :5] = 1.0
+    # column 2 is a fully-padded dialogue
+    qmask_np[:, 2, :] = 0.0
+    qmask = jnp.asarray(qmask_np)
+    umask = jnp.asarray(umask_np)
+    params = m.init(KEY, U, qmask, umask)
+
+    from gan_ffn_tpu.nn.losses import masked_nll_loss
+
+    labels = jnp.asarray(rng.integers(0, C, size=(B, L)))
+
+    def loss_fn(p):
+        log_prob, *_ = m.apply(p, U, qmask, umask)
+        flat = log_prob.transpose(1, 0, 2).reshape(-1, C)
+        return masked_nll_loss(flat, labels.reshape(-1), umask)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
