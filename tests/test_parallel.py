@@ -1,0 +1,117 @@
+"""Mesh tests on the 8-device virtual CPU mesh: DP numerical equivalence and
+the multi-seed sweep."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_ffn_tpu.models import GAN_FFN
+from gan_ffn_tpu.parallel import make_mesh, replicate, shard_batch
+from gan_ffn_tpu.parallel.sweep import init_seed_sweep, make_seed_mesh, make_sweep_train_step
+from gan_ffn_tpu.train.classifier import init_classifier_state, make_classifier_steps
+from gan_ffn_tpu.train.optim import torch_adam
+
+L, B = 16, 8  # B divisible by 8 devices
+
+
+def _batch(seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "text": jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32)),
+        "visual": jnp.asarray(rng.normal(size=(L, B, 512)).astype(np.float32)),
+        "audio": jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32)),
+        "umask": jnp.asarray((rng.random((B, L)) > 0.2).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 6, size=(B, L))),
+        "valid_len": jnp.asarray(L, dtype=jnp.int32),
+        "n_real": jnp.asarray(B, dtype=jnp.int32),
+    }
+
+
+def _steps(model):
+    def apply_train(p, rng, batch):
+        return model.apply(
+            {"params": p}, batch["audio"], batch["visual"], batch["text"],
+            valid_len=batch["valid_len"], deterministic=False, rngs={"dropout": rng},
+        )[0]
+
+    def apply_eval(p, batch):
+        return model.apply(
+            {"params": p}, batch["audio"], batch["visual"], batch["text"],
+            valid_len=batch["valid_len"], deterministic=True,
+        )[0]
+
+    opt = torch_adam(1e-3)
+    return make_classifier_steps(apply_train, apply_eval, opt, 6), opt
+
+
+def test_eight_cpu_devices_available(cpu_devices):
+    assert len(cpu_devices) == 8
+
+
+def test_dp_eval_matches_single_device(cpu_devices):
+    """Batch-sharded eval == single-device eval, bitwise-close."""
+    mesh = make_mesh(cpu_devices)
+    model = GAN_FFN(n_classes=6, gen_num_layers=1)
+    batch = _batch()
+    params = model.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["visual"], batch["text"]
+    )["params"]
+    (train_step, eval_step), opt = _steps(model)
+
+    loss_single, preds_single = eval_step(params, batch)
+
+    params_r = replicate(params, mesh)
+    sharded = shard_batch(batch, mesh)
+    loss_dp, preds_dp = eval_step(params_r, sharded)
+
+    assert float(loss_dp) == pytest.approx(float(loss_single), rel=1e-5)
+    np.testing.assert_array_equal(np.asarray(preds_dp), np.asarray(preds_single))
+
+
+def test_dp_train_step_matches_single_device(cpu_devices):
+    """One DP train step produces the same params as single-device (global
+    masked loss => identical gradients; this is what nn.DataParallel broke)."""
+    mesh = make_mesh(cpu_devices)
+    model = GAN_FFN(n_classes=6, gen_num_layers=1)
+    batch = _batch()
+    params = model.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["visual"], batch["text"]
+    )["params"]
+    (train_step, eval_step), opt = _steps(model)
+
+    # the train step donates its input state; give each run its own copy
+    params_copy = jax.tree.map(lambda x: jnp.array(np.asarray(x)), params)
+    state1 = init_classifier_state(params, opt)
+    state1, loss1, _ = train_step(state1, jax.random.PRNGKey(7), batch)
+
+    state2 = init_classifier_state(replicate(params_copy, mesh), opt)
+    state2 = {"params": state2["params"], "opt": replicate(state2["opt"], mesh)}
+    state2, loss2, _ = train_step(state2, jax.random.PRNGKey(7), shard_batch(batch, mesh))
+
+    assert float(loss2) == pytest.approx(float(loss1), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(state1["params"]), jax.tree.leaves(state2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_multi_seed_sweep(cpu_devices):
+    """8 seeds train in one vmapped step; different seeds diverge."""
+    mesh = make_seed_mesh(cpu_devices)
+    model = GAN_FFN(n_classes=6, gen_num_layers=1)
+    batch = _batch()
+    (train_step, eval_step), opt = _steps(model)
+
+    def init_fn(key):
+        params = model.init(key, batch["audio"], batch["visual"], batch["text"])["params"]
+        return init_classifier_state(params, opt)
+
+    seeds = list(range(8))
+    stacked = init_seed_sweep(init_fn, seeds, mesh)
+    sweep_step = make_sweep_train_step(train_step, mesh)
+    rngs = jnp.stack([jax.random.PRNGKey(100 + s) for s in seeds])
+    stacked, losses, preds = sweep_step(stacked, rngs, batch)
+    losses = np.asarray(losses)
+    assert losses.shape == (8,)
+    assert np.isfinite(losses).all()
+    assert len(np.unique(losses.round(6))) > 1  # seeds diverge
+    assert preds.shape == (8, B * L)
