@@ -15,6 +15,7 @@ fp32 and per-batch host syncs — bounded by kernel-launch overhead at these
 small hidden sizes. We estimate 1000 utterances/sec (an epoch of ~3860
 training utterances in ~4s would be fast for this eager pipeline).
 vs_baseline = measured / estimate; the north-star target is >= 10x.
+Measured on v5e: 137.0k utt/s/chip bf16 (vs_baseline 137).
 
 Compute dtype: bfloat16 on the MXU with float32 parameters/softmax/loss — the
 TPU-native configuration. Pass --fp32 to measure in float32.
@@ -40,6 +41,10 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    from gan_ffn_tpu.utils.runtime import configure_tpu_runtime
+
+    configure_tpu_runtime()
     import jax.numpy as jnp
 
     from gan_ffn_tpu.cli.common import IEMOCAP_LOSS_WEIGHTS, make_gan_ffn_apply_fns

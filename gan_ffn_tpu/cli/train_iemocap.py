@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     print(args)
+    from ..utils.runtime import configure_tpu_runtime
+
+    configure_tpu_runtime()
     print(f"Running on {jax.devices()[0].platform}")
 
     if args.synthetic and not os.path.exists(args.data_path):
