@@ -62,19 +62,36 @@ class MultiheadSelfAttention(nn.Module):
             return t.reshape(L, B, H, Dh).transpose(1, 2, 0, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, dtype=jnp.float32))
-        # softmax in float32 for stability under bf16 compute
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        if valid_len is not None:
-            key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, L), 3)
-            scores = jnp.where(key_pos < valid_len, scores, NEG_INF)
-        attn = jax.nn.softmax(scores, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum(
-            "bhqk,bhkd->bhqd", attn.astype(dtype), v, preferred_element_type=jnp.float32
-        ).astype(dtype)
+
+        from ..ops.config import pallas_attention_enabled
+
+        if pallas_attention_enabled() and L <= 128:
+            from ..ops.attention import fused_attention
+
+            if not deterministic and self.dropout > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+                )
+                rate = self.dropout
+            else:
+                seed, rate = None, 0.0
+            out = fused_attention(
+                q, k, v, valid_len=valid_len, dropout_rate=rate, dropout_seed=seed
+            ).astype(dtype)
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, dtype=jnp.float32))
+            # softmax in float32 for stability under bf16 compute
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            if valid_len is not None:
+                key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, L), 3)
+                scores = jnp.where(key_pos < valid_len, scores, NEG_INF)
+            attn = jax.nn.softmax(scores, axis=-1)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", attn.astype(dtype), v, preferred_element_type=jnp.float32
+            ).astype(dtype)
         out = out.transpose(2, 0, 1, 3).reshape(L, B, E)
         out = TorchLinear(E, dtype=dtype, name="out_proj")(out)
         return out

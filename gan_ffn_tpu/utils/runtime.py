@@ -15,9 +15,24 @@ recorded expectations stay stable.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 
-def configure_tpu_runtime(prng_impl: str = "rbg") -> None:
+def configure_tpu_runtime(
+    prng_impl: str = "rbg",
+    compilation_cache_dir: str | None = None,
+) -> None:
     if prng_impl:
         jax.config.update("jax_default_prng_impl", prng_impl)
+    # Persistent XLA compilation cache: the one-program 12-duel GAN step
+    # compiles in ~7 min on v5e; caching makes every later run (and every
+    # resume/sweep invocation) start instantly.
+    cache = compilation_cache_dir or os.environ.get(
+        "GANFFN_COMPILE_CACHE", os.path.expanduser("~/.cache/gan_ffn_tpu_xla")
+    )
+    if cache:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

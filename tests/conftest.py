@@ -8,6 +8,9 @@ imported anywhere.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# tests run on CPU arrays; compiled pallas kernels need real TPU (the
+# interpret-mode kernel tests opt back in explicitly)
+os.environ["GANFFN_PALLAS"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
