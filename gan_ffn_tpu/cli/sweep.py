@@ -1,0 +1,152 @@
+"""GAN-epoch sweep driver (reference run.sh:7-21 + output/history artifacts).
+
+The reference sweeps ``--GAN-epochs`` by re-running the whole entry script per
+value (sequential full restarts; the commented run.sh loop resumes from
+checkpoints in +5-epoch steps). TPU-native redesign: ONE incremental
+adversarial run that snapshots generator params at every sweep point, then a
+classifier train per snapshot — stage A work is shared across the entire
+sweep instead of repeated.
+
+Artifacts match the reference's history layout: one
+``output/history/test_out_GAN-epochs={g}_F1-score={f1}.txt`` per sweep point
+plus the cumulative ``GAN_loss.csv``/``GAN_loss.png``.
+
+Run: ``python -m gan_ffn_tpu.cli.sweep --gan-epochs 85 185 5 --epochs 160``
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..data import get_iemocap_loaders, write_synthetic_iemocap
+from ..models import GAN_FFN
+from ..train.classifier import (
+    graft_generator_params,
+    init_classifier_state,
+    make_classifier_steps,
+)
+from ..train.gan import GANConfig
+from ..train.loop import batch_to_arrays, run_epoch
+from ..train.optim import torch_adam
+from ..utils.artifacts import draw_gan_loss, save_gan_loss_csv
+from ..evaluation.reports import write_test_report
+from .common import IEMOCAP_LOSS_WEIGHTS, make_gan_ffn_apply_fns, train_gan
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="GAN-epochs sweep (TPU-native)")
+    p.add_argument("--gan-epochs", nargs=3, type=int, default=[85, 185, 5],
+                   metavar=("START", "STOP", "STEP"),
+                   help="sweep range over GAN pre-train epochs (inclusive stop)")
+    p.add_argument("--epochs", type=int, default=160, help="classifier epochs per point")
+    p.add_argument("--lr", type=float, default=0.0001)
+    p.add_argument("--l2", type=float, default=0.008)
+    p.add_argument("--dropout", type=float, default=0.6)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--data-path", default="data/iemocap/IEMOCAP_features.pkl")
+    p.add_argument("--synthetic", action="store_true", default=False)
+    p.add_argument("--output-dir", default="./output")
+    p.add_argument("--num-layers", type=int, default=8)
+    p.add_argument("--bf16", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=3407)
+    p.add_argument("--synthetic-train", type=int, default=120)
+    p.add_argument("--synthetic-test", type=int, default=31)
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    print(args)
+    from ..utils.runtime import configure_tpu_runtime
+
+    configure_tpu_runtime()
+
+    if args.synthetic and not os.path.exists(args.data_path):
+        write_synthetic_iemocap(
+            args.data_path, n_train=args.synthetic_train, n_test=args.synthetic_test,
+            seed=args.seed,
+        )
+
+    start, stop, step = args.gan_epochs
+    points = list(range(start, stop + 1, step))
+    dtype = jnp.bfloat16 if args.bf16 else None
+    gan_cfg = GANConfig(
+        num_layers=args.num_layers, lr=0.0001, b1=0.5, b2=0.6, dtype=dtype,
+        seed=args.seed,
+    )
+    gan_train_loader, _, _ = get_iemocap_loaders(
+        args.data_path, batch_size=32, valid=0.1, seed=args.seed
+    )
+
+    # Stage A once, snapshotting generators at each sweep point.
+    snapshots = {}
+    state, history = None, []
+    prev = 0
+    for g in points:
+        state, history = train_gan(
+            gan_cfg, gan_train_loader, g - prev, state=state, history=history,
+            start_epoch=prev, log_every_batch=False,
+        )
+        prev = g
+        snapshots[g] = jax.tree.map(lambda x: x.copy(), state["params"])
+        print(f"snapshotted generators at GAN epoch {g}")
+    save_gan_loss_csv(history, os.path.join(args.output_dir, "GAN_loss.csv"))
+    draw_gan_loss(history, os.path.join(args.output_dir, "GAN_loss.png"))
+
+    # Stage B per snapshot.
+    train_loader, valid_loader, test_loader = get_iemocap_loaders(
+        args.data_path, batch_size=args.batch_size, valid=0.1, seed=args.seed
+    )
+    model = GAN_FFN(
+        n_classes=6, dropout=args.dropout, gen_num_layers=args.num_layers, dtype=dtype
+    )
+    sample = batch_to_arrays(next(iter(train_loader)))
+    base_params = model.init(
+        jax.random.PRNGKey(args.seed), sample["audio"], sample["visual"], sample["text"]
+    )["params"]
+    apply_train, apply_eval = make_gan_ffn_apply_fns(model)
+    optimizer = torch_adam(args.lr, weight_decay=args.l2)
+    train_step, eval_step = make_classifier_steps(
+        apply_train, apply_eval, optimizer, 6, jnp.asarray(IEMOCAP_LOSS_WEIGHTS)
+    )
+
+    history_dir = os.path.join(args.output_dir, "history")
+    results = {}
+    for g in points:
+        t0 = time.time()
+        params = graft_generator_params(
+            jax.tree.map(lambda x: x.copy(), base_params), snapshots[g]
+        )
+        clf_state = init_classifier_state(params, optimizer)
+        best = None
+        rng = jax.random.PRNGKey(args.seed + 2)
+        for e in range(args.epochs):
+            rng, sub = jax.random.split(rng)
+            clf_state, train_res = run_epoch(
+                train_loader, clf_state, train_step=train_step, rng=sub
+            )
+            test_res = run_epoch(test_loader, clf_state["params"], eval_step=eval_step)
+            if best is None or best[0] > test_res.avg_loss:
+                best = (test_res.avg_loss, test_res.labels, test_res.preds, test_res.masks)
+        path = write_test_report(history_dir, g, best[0], best[1], best[2], best[3])
+        from ..evaluation.metrics import f1_score
+
+        f1 = round(
+            f1_score(best[1], best[2], sample_weight=best[3], average="weighted") * 100, 2
+        )
+        results[g] = f1
+        print(f"GAN-epochs={g}: F1={f1} ({time.time() - t0:.1f}s) -> {path}")
+
+    best_g = max(results, key=results.get)
+    print(f"best: GAN-epochs={best_g} F1={results[best_g]}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -156,6 +156,9 @@ def main(argv=None) -> dict:
     state = init_classifier_state(params, optimizer)
 
     print("=" * 15, "data loaded", "=" * 15)
+    from ..utils.tensorboard import TBWriter
+
+    writer = TBWriter("./tensorboard", enabled=args.tensorboard)
     best = None  # (loss, labels, preds, masks)
     rng = jax.random.PRNGKey(args.seed + 2)
     for e in range(args.epochs):
@@ -167,6 +170,10 @@ def main(argv=None) -> dict:
 
         if best is None or best[0] > test_res.avg_loss:
             best = (test_res.avg_loss, test_res.labels, test_res.preds, test_res.masks)
+
+        # reference scalar tags (train_IEMOCAP.py:702-704)
+        writer.add_scalar("test: accuracy/loss", test_res.avg_accuracy / test_res.avg_loss, e)
+        writer.add_scalar("train: accuracy/loss", train_res.avg_accuracy / train_res.avg_loss, e)
 
         elapsed = round(time.time() - start_time, 2)
         n_utt = float(np.sum(train_res.masks))
@@ -182,6 +189,7 @@ def main(argv=None) -> dict:
             )
         )
 
+    writer.close()
     best_loss, best_label, best_pred, best_mask = best
     print("Test performance..")
     path = write_test_report(
