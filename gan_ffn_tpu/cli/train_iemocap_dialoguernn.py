@@ -68,10 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
     print(args)
-    from ..utils.runtime import configure_tpu_runtime
+    from ..utils.runtime import configure_tpu_runtime, wait_for_device
 
     configure_tpu_runtime()
-    print(f"Running on {jax.devices()[0].platform}")
+    print(f"Running on {wait_for_device()[0].platform}")
 
     if args.synthetic and not os.path.exists(args.data_path):
         write_synthetic_iemocap(

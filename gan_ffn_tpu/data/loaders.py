@@ -117,6 +117,44 @@ def collate(dialogues: Sequence[Dialogue], bucket_len: int, batch_size: int) -> 
     )
 
 
+@dataclass
+class TokenBatch:
+    """Fixed-shape batch of token-id dialogues (DailyDialogue schema)."""
+
+    tokens: np.ndarray  # (L, B, T)
+    qmask: np.ndarray  # (L, B, 2)
+    umask: np.ndarray  # (B, L)
+    act: np.ndarray  # (B, L)
+    emotion: np.ndarray  # (B, L)
+    convs: List[object]
+    n_real: int = 0
+
+
+def collate_token_dialogues(
+    items, bucket_len: int, batch_size: int, max_tokens: int
+) -> TokenBatch:
+    """Pad TokenDialogue items to one fixed (bucket_len, batch_size,
+    max_tokens) batch — the static-shape analogue of the reference's
+    ``DailyDialoguePadCollate`` (dataloader.py:163-184), which pads tokens to
+    the batch max utterance count and stacks time-major."""
+    L, B, T = bucket_len, batch_size, max_tokens
+    tokens = np.zeros((L, B, T), dtype=np.int32)
+    qmask = np.zeros((L, B, 2), dtype=np.float32)
+    umask = np.zeros((B, L), dtype=np.float32)
+    act = np.zeros((B, L), dtype=np.int32)
+    emotion = np.zeros((B, L), dtype=np.int32)
+    convs: List[object] = []
+    for j, d in enumerate(items):
+        n, t = d.tokens.shape
+        tokens[:n, j, :t] = d.tokens
+        qmask[:n, j] = d.qmask
+        umask[j, :n] = 1.0
+        act[j, :n] = d.act
+        emotion[j, :n] = d.emotion
+        convs.append(d.conv)
+    return TokenBatch(tokens, qmask, umask, act, emotion, convs, n_real=len(items))
+
+
 class BucketedLoader:
     """Iterates fixed-shape batches over a subset of a dialogue dataset.
 

@@ -8,7 +8,7 @@ from .baselines import (
     LSTMModel2,
     MELDLSTMModel,
 )
-from .dialogue_rnn import BiModel, DialogueRNN
+from .dialogue_rnn import BiE2EModel, BiModel, DialogueRNN
 from .discriminators import (
     AcousticDiscriminator,
     TextDiscriminator,
@@ -20,6 +20,7 @@ from .generators import AcousticGenerator, TextGenerator, VisualGenerator
 __all__ = [
     "AcousticDiscriminator",
     "AcousticGenerator",
+    "BiE2EModel",
     "BiModel",
     "CNN",
     "CNNFeatureExtractor",

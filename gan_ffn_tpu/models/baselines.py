@@ -170,7 +170,9 @@ class CNN(nn.Module):
                 padding="VALID",
                 name=f"conv_{fs}",
             )
-            c = nn.relu(conv(x[:, :, :, None].transpose(0, 1, 3, 2)))  # (B, L-fs+1, 1, F)
+            # (B, L, E, 1): spatial (L, E), single channel — matches the
+            # reference's Conv2d(1, F, (fs, E)) over (B, 1, L, E)
+            c = nn.relu(conv(x[:, :, :, None]))  # (B, L-fs+1, 1, F)
             c = c[:, :, 0, :]  # (B, L-fs+1, F)
             pooled.append(jnp.max(c, axis=1))  # (B, F)
         cat = jnp.concatenate(pooled, axis=1)

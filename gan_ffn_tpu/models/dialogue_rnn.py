@@ -196,6 +196,78 @@ class DialogueRNN(nn.Module):
         return e, alpha
 
 
+class BiE2EModel(nn.Module):
+    """End-to-end 3-turn variant (reference model.py:1065-1175).
+
+    Three token-id turns are encoded by a shared single-layer GRU; the three
+    final hidden states form a fixed 3-utterance dialogue with alternating
+    speakers ([1,0],[0,1],[1,0]), classified by bidirectional DialogueRNN on
+    the last timestep. Unused by the reference's entry points but part of its
+    model surface.
+    """
+
+    D_emb: int
+    D_m: int
+    D_g: int
+    D_p: int
+    D_e: int
+    D_h: int
+    vocab_size: int
+    n_classes: int = 7
+    listener_state: bool = False
+    context_attention: str = "simple"
+    D_a: int = 100
+    dropout_rec: float = 0.5
+    dropout: float = 0.5
+    att2: bool = False
+    deterministic: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, turn1, turn2, turn3):
+        from ..nn.recurrent import GRU
+
+        emb = nn.Embed(self.vocab_size, self.D_emb, name="embedding")
+        turn_rnn = GRU(self.D_m, name="turn_rnn")
+        finals = []
+        for turn in (turn1, turn2, turn3):
+            _, h_n = turn_rnn(emb(turn.astype(jnp.int32)))
+            finals.append(h_n[0])
+        U = jnp.stack(finals, axis=0)  # (3, B, D_m)
+        B = U.shape[1]
+        qmask = jnp.broadcast_to(
+            jnp.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]], dtype=U.dtype)[:, None, :],
+            (3, B, 2),
+        )
+        umask = jnp.ones((B, 3), dtype=U.dtype)
+
+        drop_rec = lambda v: nn.Dropout(self.dropout)(v, deterministic=self.deterministic)
+        rnn_args = dict(
+            D_m=self.D_m, D_g=self.D_g, D_p=self.D_p, D_e=self.D_e,
+            listener_state=self.listener_state,
+            context_attention=self.context_attention,
+            D_a=self.D_a, dropout=self.dropout_rec,
+            deterministic=self.deterministic, dtype=self.dtype,
+        )
+        emotions_f, _ = DialogueRNN(**rnn_args, name="dialog_rnn_f")(U, qmask)
+        emotions_f = drop_rec(emotions_f)
+        rev_U = reverse_padded(U, umask)
+        rev_qmask = reverse_padded(qmask, umask)
+        emotions_b, _ = DialogueRNN(**rnn_args, name="dialog_rnn_r")(rev_U, rev_qmask)
+        emotions_b = reverse_padded(emotions_b, umask)
+        emotions = drop_rec(jnp.concatenate([emotions_f, emotions_b], axis=-1))
+
+        if self.att2:
+            att_emotion, _ = MatchingAttention(
+                2 * self.D_e, 2 * self.D_e, att_type="general2", name="matchatt"
+            )(emotions, emotions[-1])
+            hidden = nn.relu(TorchLinear(self.D_h, name="linear1")(att_emotion))
+        else:
+            hidden = nn.relu(TorchLinear(self.D_h, name="linear1")(emotions[-1]))
+        logits = TorchLinear(self.n_classes, name="smax_fc")(hidden)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+
 class BiModel(nn.Module):
     """Bidirectional DialogueRNN classifier (reference model.py:981-1062).
 

@@ -8,7 +8,7 @@ from .losses import (
     unmasked_weighted_nll_loss,
 )
 from .positional import PositionalEncoding, sinusoidal_table
-from .recurrent import GRUCell, LSTM, LSTMCell
+from .recurrent import GRU, GRUCell, LSTM, LSTMCell
 from .transformer import (
     MultiheadSelfAttention,
     TransformerEncoder,
@@ -17,6 +17,7 @@ from .transformer import (
 
 __all__ = [
     "Attention",
+    "GRU",
     "GRUCell",
     "LSTM",
     "LSTMCell",

@@ -65,6 +65,42 @@ def gru_step(params, x, h):
     return (1.0 - z) * n + z * h
 
 
+class GRU(nn.Module):
+    """Single-layer GRU over (L, B, D) input, torch ``nn.GRU`` semantics.
+
+    Returns (outputs (L, B, H), h_n (1, B, H)). Input projections are hoisted
+    into one batched matmul as in :class:`LSTM`.
+    """
+
+    hidden_size: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, h0=None):
+        L, B, d_in = x.shape
+        H = self.hidden_size
+        init = _rnn_init(H)
+        w_ih = self.param("w_ih_l0", init, (d_in, 3 * H))
+        w_hh = self.param("w_hh_l0", init, (H, 3 * H))
+        b_ih = self.param("b_ih_l0", init, (3 * H,))
+        b_hh = self.param("b_hh_l0", init, (3 * H,))
+        gi = jnp.einsum("lbd,dh->lbh", x, w_ih) + b_ih
+
+        def step(h, gi_t):
+            gh = jnp.dot(h, w_hh) + b_hh
+            i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+            h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(i_r + h_r)
+            z = jax.nn.sigmoid(i_z + h_z)
+            n = jnp.tanh(i_n + r * h_n)
+            h2 = (1.0 - z) * n + z * h
+            return h2, h2
+
+        h = jnp.zeros((B, H), dtype=x.dtype) if h0 is None else h0.reshape(B, H)
+        h_n, outs = jax.lax.scan(step, h, gi)
+        return outs, h_n[None]
+
+
 class LSTMCell(nn.Module):
     """One LSTM step. x (B, D_in), (h, c) -> (h', c')."""
 

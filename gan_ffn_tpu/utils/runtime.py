@@ -36,3 +36,28 @@ def configure_tpu_runtime(
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def wait_for_device(attempts: int = 6, delay_s: float = 10.0):
+    """Probe backend initialization with retries.
+
+    Hosted TPU plugins can fail to register transiently while the previous
+    process still holds the device; a plain ``jax.devices()`` then raises and
+    jax memoizes the failure. Clear the backend cache and retry.
+    """
+    import time
+
+    last = None
+    for attempt in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:  # pragma: no cover - hardware-timing path
+            last = e
+            try:
+                from jax._src import xla_bridge
+
+                xla_bridge._clear_backends()
+            except Exception:
+                pass
+            time.sleep(delay_s)
+    raise last
