@@ -248,3 +248,64 @@ def test_meld_lstm_full_parity():
         deterministic=True,
     )
     np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_lstm_model2_full_parity():
+    import gan_ffn_tpu.models as M
+    from torch_mapping import lstm_params
+
+    D_m, D_e, D_h, C = 20, 16, 24, 6
+    ref = refmodel.LSTMModel2(D_m, D_e, D_h, n_classes=C, dropout=0.5, attention=True).eval()
+    ours = M.LSTMModel2(D_m=D_m, D_e=D_e, D_h=D_h, n_classes=C, dropout=0.5, attention=True)
+    params = {
+        "lstm": lstm_params(ref.lstm),
+        "matchatt": {"transform": linear_params(ref.matchatt.transform)},
+        "linear": linear_params(ref.linear),
+        "smax_fc": linear_params(ref.smax_fc),
+    }
+    rng = np.random.default_rng(7)
+    U = rng.normal(size=(L, B, D_m)).astype(np.float32)
+    umask = np.ones((B, L), dtype=np.float32)
+    with torch.no_grad():
+        expected, *_ = ref(torch.from_numpy(U), None, torch.from_numpy(umask))
+    got, *_ = ours.apply(
+        {"params": params}, jnp.asarray(U), None, jnp.asarray(umask), deterministic=True
+    )
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_lstm_model_full_parity():
+    """LSTMModel incl. the reference's softmax-over-dim-0 Attention quirk."""
+    import gan_ffn_tpu.models as M
+    from torch_mapping import lstm_params
+
+    D_m, D_e, D_h, C = 100, 100, 100, 6
+    ref = refmodel.LSTMModel(D_m, D_e, D_h, n_classes=C, dropout=0.5).eval()
+    ours = M.LSTMModel(D_m=D_m, D_e=D_e, D_h=D_h, n_classes=C, dropout=0.5)
+    params = {
+        "lstm_1": lstm_params(ref.lstm_1),
+        "lstm_2": lstm_params(ref.lstm_2),
+        "lstm_3": lstm_params(ref.lstm_3),
+        "attention": {
+            "w_k": linear_params(ref.attention.w_k),
+            "w_q": linear_params(ref.attention.w_q),
+            "proj": linear_params(ref.attention.proj),
+        },
+        "smax_fc": linear_params(ref.smax_fc),
+    }
+    rng = np.random.default_rng(8)
+    t = rng.normal(size=(L, B, D_m)).astype(np.float32)
+    a = rng.normal(size=(L, B, D_m)).astype(np.float32)
+    v = rng.normal(size=(L, B, 512)).astype(np.float32)
+    umask = np.ones((B, L), dtype=np.float32)
+    with torch.no_grad():
+        expected, *_ = ref(
+            torch.from_numpy(t), torch.from_numpy(a), torch.from_numpy(v),
+            None, torch.from_numpy(umask),
+        )
+    got, *_ = ours.apply(
+        {"params": params},
+        jnp.asarray(t), jnp.asarray(a), jnp.asarray(v), None, jnp.asarray(umask),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=2e-3, atol=2e-4)
