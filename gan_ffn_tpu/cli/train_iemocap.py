@@ -70,6 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-layers", type=int, default=8, help="transformer encoder depth")
     p.add_argument("--bf16", action="store_true", default=False, help="bfloat16 compute")
     p.add_argument("--seed", type=int, default=3407)
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="write a jax.profiler trace of one train epoch to LOGDIR")
     p.add_argument("--synthetic-train", type=int, default=120,
                    help="synthetic fixture train dialogues")
     p.add_argument("--synthetic-test", type=int, default=31)
@@ -164,7 +166,10 @@ def main(argv=None) -> dict:
     for e in range(args.epochs):
         start_time = time.time()
         rng, sub = jax.random.split(rng)
-        state, train_res = run_epoch(train_loader, state, train_step=train_step, rng=sub)
+        from ..utils.profiling import trace
+
+        with trace(args.profile if e == 1 else None):  # epoch 1: post-compile
+            state, train_res = run_epoch(train_loader, state, train_step=train_step, rng=sub)
         valid_res = run_epoch(valid_loader, state["params"], eval_step=eval_step)
         test_res = run_epoch(test_loader, state["params"], eval_step=eval_step)
 
