@@ -26,6 +26,7 @@ Mode semantics preserved from the reference:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -86,6 +87,7 @@ class GANConfig:
     b2: float = 0.6
     dtype: Any = None
     seed: int = 3407
+    fused_schedule: bool = True
 
 
 def create_gan_modules(cfg: GANConfig) -> Dict[str, Any]:
@@ -154,77 +156,119 @@ def _duel_mask(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
 
 
 def make_gan_train_step(cfg: GANConfig):
-    """Build the jitted 12-duel train step.
+    """Build the GAN train step over the 12-duel schedule.
 
     step(state, batch, rng) -> (state, losses) where batch carries
     text/visual/audio (L, B, D), valid_len (), n_real () and losses maps each
     schedule entry index and the six logged CSV keys to scalars.
+
+    ``cfg.fused_schedule`` selects the compilation strategy:
+    - True (default): ONE jitted program for all 12 duels — minimal dispatch,
+      maximal XLA overlap, but a long first compile;
+    - False: 12 separately-jitted duel programs — each compiles fast and
+      caches incrementally, at ~ms extra dispatch per batch.
     """
     modules = create_gan_modules(cfg)
     opts = create_gan_optimizers(cfg)
 
     real_inputs = {"acoustic": "audio", "visual": "visual", "text": "text"}
 
-    def step(state: GANState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
-        params = dict(state["params"])
-        opt_state = dict(state["opt"])
+    def duel_update(i: int, net_params, opp_params, opt_state_net, batch, k1, k2):
+        """One duel: loss + grad + Adam update for schedule entry ``i``.
+
+        Returns (updated net params, updated opt state, loss).
+        """
+        kind, net, net_mod, opp, opp_mod, log_key = DUEL_SCHEDULE[i]
         mask = _duel_mask(batch)
         valid_len = batch["valid_len"]
+        if kind == "disc":
+            disc, gen = modules[net], modules[opp]
+            real_d = batch[real_inputs[net_mod]]
+            real_g = batch[real_inputs[opp_mod]]
+
+            def loss_fn(d_params):
+                real_prob = disc.apply(
+                    {"params": d_params}, real_d, valid_len=valid_len,
+                    deterministic=False, rngs={"dropout": k1},
+                )
+                # generator in eval mode; fake detached (stop_gradient is
+                # implicit: we only differentiate w.r.t. d_params)
+                fusion = gen.apply(
+                    {"params": opp_params}, real_g, valid_len=valid_len,
+                    deterministic=True,
+                )
+                fake_prob = disc.apply(
+                    {"params": d_params}, jax.lax.stop_gradient(fusion),
+                    valid_len=valid_len, deterministic=False, rngs={"dropout": k2},
+                )
+                return (
+                    bce_loss(real_prob, jnp.ones_like(real_prob), mask)
+                    + bce_loss(fake_prob, jnp.zeros_like(fake_prob), mask)
+                ) / 2.0
+        else:
+            gen, disc = modules[net], modules[opp]
+            real_g = batch[real_inputs[net_mod]]
+
+            def loss_fn(g_params):
+                fusion = gen.apply(
+                    {"params": g_params}, real_g, valid_len=valid_len,
+                    deterministic=False, rngs={"dropout": k1},
+                )
+                prob = disc.apply(
+                    {"params": opp_params}, fusion, valid_len=valid_len,
+                    deterministic=True,
+                )
+                return bce_loss(prob, jnp.ones_like(prob), mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(net_params)
+        updates, opt_state_net = opts[net].update(grads, opt_state_net, net_params)
+        net_params = optax.apply_updates(net_params, updates)
+        return net_params, opt_state_net, loss
+
+    def run_schedule(state, batch, rng):
+        # The fused schedule instantiates ~60 attention sites (12 duels x
+        # multiple encoders x fwd/bwd); with the Pallas kernel each site is a
+        # separate Mosaic compilation and the program takes >40 min to build,
+        # vs ~7 min pure-XLA — while the step-time difference is noise at
+        # stage A's scale (~185 ms/step either way). Trace this program with
+        # the XLA attention path.
+        from ..ops.config import use_pallas_attention
+
+        with use_pallas_attention(False):
+            params = dict(state["params"])
+            opt_state = dict(state["opt"])
+            losses: Dict[str, jnp.ndarray] = {}
+            keys = jax.random.split(rng, 2 * len(DUEL_SCHEDULE))
+            for i, (kind, net, _nm, opp, _om, log_key) in enumerate(DUEL_SCHEDULE):
+                params[net], opt_state[net], loss = duel_update(
+                    i, params[net], params[opp], opt_state[net], batch,
+                    keys[2 * i], keys[2 * i + 1],
+                )
+                losses[f"duel_{i}"] = loss
+                losses[log_key] = loss  # duplicate-key overwrite, as in reference
+            return {"params": params, "opt": opt_state}, losses
+
+    if cfg.fused_schedule:
+        return jax.jit(run_schedule, donate_argnums=(0,))
+
+    # Per-duel jitted steps: each compiles/caches independently.
+    duel_jits = [
+        jax.jit(functools.partial(duel_update, i), donate_argnums=(0, 2))
+        for i in range(len(DUEL_SCHEDULE))
+    ]
+
+    def stepwise(state, batch, rng):
+        params = dict(state["params"])
+        opt_state = dict(state["opt"])
         losses: Dict[str, jnp.ndarray] = {}
-
         keys = jax.random.split(rng, 2 * len(DUEL_SCHEDULE))
-        for i, (kind, net, net_mod, opp, opp_mod, log_key) in enumerate(DUEL_SCHEDULE):
-            k1, k2 = keys[2 * i], keys[2 * i + 1]
-            if kind == "disc":
-                disc, gen = modules[net], modules[opp]
-                real_d = batch[real_inputs[net_mod]]
-                real_g = batch[real_inputs[opp_mod]]
-                gen_params = params[opp]
-
-                def disc_loss_fn(d_params):
-                    real_prob = disc.apply(
-                        {"params": d_params}, real_d, valid_len=valid_len,
-                        deterministic=False, rngs={"dropout": k1},
-                    )
-                    # generator in eval mode; fake detached (stop_gradient is
-                    # implicit: we only differentiate w.r.t. d_params)
-                    fusion = gen.apply(
-                        {"params": gen_params}, real_g, valid_len=valid_len,
-                        deterministic=True,
-                    )
-                    fake_prob = disc.apply(
-                        {"params": d_params}, jax.lax.stop_gradient(fusion),
-                        valid_len=valid_len, deterministic=False, rngs={"dropout": k2},
-                    )
-                    return (
-                        bce_loss(real_prob, jnp.ones_like(real_prob), mask)
-                        + bce_loss(fake_prob, jnp.zeros_like(fake_prob), mask)
-                    ) / 2.0
-
-                loss, grads = jax.value_and_grad(disc_loss_fn)(params[net])
-            else:
-                gen, disc = modules[net], modules[opp]
-                real_g = batch[real_inputs[net_mod]]
-                disc_params = params[opp]
-
-                def gen_loss_fn(g_params):
-                    fusion = gen.apply(
-                        {"params": g_params}, real_g, valid_len=valid_len,
-                        deterministic=False, rngs={"dropout": k1},
-                    )
-                    prob = disc.apply(
-                        {"params": disc_params}, fusion, valid_len=valid_len,
-                        deterministic=True,
-                    )
-                    return bce_loss(prob, jnp.ones_like(prob), mask)
-
-                loss, grads = jax.value_and_grad(gen_loss_fn)(params[net])
-
-            updates, opt_state[net] = opts[net].update(grads, opt_state[net], params[net])
-            params[net] = optax.apply_updates(params[net], updates)
+        for i, (kind, net, _nm, opp, _om, log_key) in enumerate(DUEL_SCHEDULE):
+            params[net], opt_state[net], loss = duel_jits[i](
+                params[net], params[opp], opt_state[net], batch,
+                keys[2 * i], keys[2 * i + 1],
+            )
             losses[f"duel_{i}"] = loss
-            losses[log_key] = loss  # duplicate-key overwrite, as in reference
-
+            losses[log_key] = loss
         return {"params": params, "opt": opt_state}, losses
 
-    return jax.jit(step, donate_argnums=(0,))
+    return stepwise
