@@ -194,3 +194,30 @@ def test_mini_end_to_end_iemocap_slice(iemocap_pickle):
     assert np.isfinite(test_res.avg_loss)
     assert 0 <= test_res.avg_fscore <= 100
     assert len(test_res.labels) == len(test_res.preds) == len(test_res.masks)
+
+
+def test_training_determinism():
+    """Same seeds => bit-identical losses and params across two fresh runs
+    (the reference pins seed 3407 + cudnn-deterministic for the same purpose,
+    train_IEMOCAP.py:46-53)."""
+
+    def one_run():
+        state = init_gan_state(CFG, jax.random.PRNGKey(7))
+        step = make_gan_train_step(CFG)
+        s, losses = step(state, _gan_batch(3), jax.random.PRNGKey(8))
+        model = GAN_FFN(n_classes=6, gen_num_layers=1)
+        batch = _gan_batch(3)
+        batch["label"] = jnp.asarray(np.random.default_rng(9).integers(0, 6, size=(B, L)))
+        batch["umask"] = jnp.asarray(np.ones((B, L), dtype=np.float32))
+        params = model.init(jax.random.PRNGKey(10), batch["audio"], batch["visual"], batch["text"])["params"]
+        params = graft_generator_params(params, s["params"])
+        train_step, eval_step, opt = _make_gan_ffn_steps(model)
+        cs = init_classifier_state(params, opt)
+        cs, loss, preds = train_step(cs, jax.random.PRNGKey(11), batch)
+        return float(losses["acoustic_G_loss"]), float(loss), np.asarray(preds)
+
+    g1, l1, p1 = one_run()
+    g2, l2, p2 = one_run()
+    assert g1 == g2
+    assert l1 == l2
+    np.testing.assert_array_equal(p1, p2)
