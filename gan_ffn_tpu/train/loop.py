@@ -35,6 +35,35 @@ def batch_to_arrays(batch: Batch, with_visual: bool = True) -> Dict[str, jnp.nda
     return arrays
 
 
+def prefetch_to_device(batches: Iterable[Batch], size: int = 2, with_visual: bool = True):
+    """Async host->device prefetch: keeps ``size`` batches in flight so the
+    H2D copy of batch n+1 overlaps the compute of batch n.
+
+    (The reference's DataLoader with num_workers=0 copies synchronously per
+    batch, train_IEMOCAP.py:136.)
+    """
+    import collections
+
+    queue = collections.deque()
+    it = iter(batches)
+
+    def put_next():
+        try:
+            batch = next(it)
+        except StopIteration:
+            return False
+        queue.append((batch, batch_to_arrays(batch, with_visual=with_visual)))
+        return True
+
+    for _ in range(size):
+        if not put_next():
+            break
+    while queue:
+        batch, arrays = queue.popleft()
+        put_next()
+        yield batch, arrays
+
+
 @dataclasses.dataclass
 class EpochResult:
     avg_loss: float
@@ -63,8 +92,7 @@ def run_epoch(
     all_masks: List[np.ndarray] = []
 
     n_batches = 0
-    for batch in loader:
-        arrays = batch_to_arrays(batch, with_visual=with_visual)
+    for batch, arrays in prefetch_to_device(loader, with_visual=with_visual):
         if train_step is not None:
             rng, sub = jax.random.split(rng)
             state, loss, preds = train_step(state, sub, arrays)
