@@ -7,6 +7,10 @@ from .datasets import (
 from .loaders import (
     Batch,
     BucketedLoader,
+    TokenBucketedLoader,
+    collate_token_dialogues,
+    get_avec_loaders,
+    get_dailydialogue_loaders,
     get_iemocap_loaders,
     get_meld_loaders,
     head_tail_split,
@@ -29,6 +33,10 @@ __all__ = [
     "IEMOCAP_DIMS",
     "MELDDataset",
     "MELD_DIMS",
+    "TokenBucketedLoader",
+    "collate_token_dialogues",
+    "get_avec_loaders",
+    "get_dailydialogue_loaders",
     "get_iemocap_loaders",
     "get_meld_loaders",
     "head_tail_split",

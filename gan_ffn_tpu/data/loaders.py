@@ -241,6 +241,83 @@ def get_iemocap_loaders(
     return train_loader, valid_loader, test_loader
 
 
+def get_avec_loaders(
+    path: str,
+    batch_size: int = 32,
+    valid: float = 0.1,
+    buckets: Sequence[int] = (32, 64),
+    seed: int = 3407,
+) -> Tuple[BucketedLoader, BucketedLoader, BucketedLoader]:
+    """(train, valid, test) loaders over the AVEC regression dataset
+    (the reference defines AVECDataset, dataloader.py:61-87, but ships no
+    trainer for it)."""
+    from .datasets import AVECDataset
+
+    trainset = AVECDataset(path, train=True)
+    testset = AVECDataset(path, train=False)
+    train_idx, valid_idx = head_tail_split(len(trainset), valid)
+    return (
+        BucketedLoader(trainset, train_idx, batch_size, buckets, shuffle=True, seed=seed),
+        BucketedLoader(trainset, valid_idx, batch_size, buckets, shuffle=True, seed=seed + 1),
+        BucketedLoader(testset, None, batch_size, buckets, shuffle=False, seed=seed + 2),
+    )
+
+
+class TokenBucketedLoader:
+    """Fixed-shape batches over a DailyDialogue-style token dataset
+    (the static-shape counterpart of DailyDialoguePadCollate,
+    dataloader.py:163-184)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 32,
+        buckets: Sequence[int] = (8, 16, 24),
+        max_tokens: int = 32,
+        shuffle: bool = True,
+        seed: int = 3407,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.buckets = tuple(sorted(buckets))
+        self.max_tokens = max_tokens
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
+        self._epoch += 1
+        for start in range(0, len(order), self.batch_size):
+            items = [self.dataset[int(i)] for i in order[start : start + self.batch_size]]
+            max_len = max(d.length for d in items)
+            bucket = _bucket_for(max_len, self.buckets)
+            yield collate_token_dialogues(items, bucket, self.batch_size, self.max_tokens)
+
+
+def get_dailydialogue_loaders(
+    path: str,
+    batch_size: int = 32,
+    buckets: Sequence[int] = (8, 16, 24),
+    max_tokens: int = 32,
+    seed: int = 3407,
+) -> Tuple[TokenBucketedLoader, TokenBucketedLoader, TokenBucketedLoader]:
+    """(train, test, valid) loaders over the DailyDialogue 3-way split."""
+    from .datasets import DailyDialogueDataset
+
+    mk = lambda split, shuffle, s: TokenBucketedLoader(
+        DailyDialogueDataset(path, split=split), batch_size, buckets, max_tokens,
+        shuffle=shuffle, seed=s,
+    )
+    return mk("train", True, seed), mk("test", False, seed + 1), mk("valid", False, seed + 2)
+
+
 def get_meld_loaders(
     path: str,
     batch_size: int = 32,

@@ -145,3 +145,24 @@ def test_avec_and_dailydialogue_fixtures(tmp_path):
     item = ds2[0]
     assert item.tokens.ndim == 2
     assert item.qmask.shape == (item.length, 2)
+
+
+def test_avec_and_dailydialogue_loaders(tmp_path):
+    from gan_ffn_tpu.data import (
+        get_avec_loaders,
+        get_dailydialogue_loaders,
+    )
+
+    avec = write_synthetic_avec(str(tmp_path / "avec2.pkl"), n_train=10, n_test=4)
+    tr, va, te = get_avec_loaders(avec, batch_size=4, valid=0.1)
+    b = next(iter(tr))
+    assert b.label.dtype == np.float32
+    assert b.text.shape[2] == 100
+
+    dd = write_synthetic_dailydialogue(
+        str(tmp_path / "dd2.pkl"), n_train=10, n_test=4, n_valid=4
+    )
+    tr, te, va = get_dailydialogue_loaders(dd, batch_size=4, max_tokens=30)
+    b = next(iter(tr))
+    assert b.tokens.shape[1] == 4 and b.tokens.shape[2] == 30
+    assert sum(x.n_real for x in te) == 4
