@@ -17,7 +17,6 @@ Run: ``python -m gan_ffn_tpu.cli.sweep --gan-epochs 85 185 5 --epochs 160``
 from __future__ import annotations
 
 import argparse
-import copy
 import os
 import time
 

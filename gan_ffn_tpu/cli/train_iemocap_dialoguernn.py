@@ -17,7 +17,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..data import get_iemocap_loaders, write_synthetic_iemocap
 from ..evaluation.metrics import classification_report, confusion_matrix, f1_score

@@ -25,8 +25,6 @@ from __future__ import annotations
 
 import pickle
 from dataclasses import dataclass
-from typing import Dict, List, Sequence
-
 import numpy as np
 
 

@@ -25,7 +25,7 @@ shuffles within the subset like ``SubsetRandomSampler``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np

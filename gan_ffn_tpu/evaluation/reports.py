@@ -9,10 +9,6 @@ Reproduces the reference's output file byte layout:
 from __future__ import annotations
 
 import os
-from typing import Optional
-
-import numpy as np
-
 from .metrics import classification_report, confusion_matrix, f1_score
 
 

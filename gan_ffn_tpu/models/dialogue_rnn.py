@@ -25,7 +25,7 @@ Shape/semantics parity notes:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ numerics (see nn/transformer.py). ``dtype`` selects the computation dtype
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 from flax import linen as nn
 

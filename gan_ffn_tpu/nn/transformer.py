@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .core import LayerNorm, TorchLinear, torch_linear_kernel_init, xavier_uniform_init
+from .core import LayerNorm, TorchLinear, xavier_uniform_init
 
 NEG_INF = -1e30
 

@@ -23,14 +23,13 @@ loss exactly as in the reference (train_IEMOCAP.py:661).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from ..nn.losses import masked_nll_loss
-from .optim import torch_adam
 
 # (params, opt_state) pytree pair
 ClassifierState = Dict[str, Any]

@@ -9,7 +9,7 @@ average: sum_b(loss_b * mask_sum_b) / sum_b(mask_sum_b).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Iterable, List, Optional
+from typing import Callable, Dict, Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,9 +19,8 @@ reset_opt=True)`` replicates the reference reset).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
-import jax
 from flax import serialization
 
 GAN_NET_NAMES = (

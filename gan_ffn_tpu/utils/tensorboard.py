@@ -9,8 +9,6 @@ Uses ``torch.utils.tensorboard`` when available; silently no-ops otherwise.
 
 from __future__ import annotations
 
-from typing import Optional
-
 
 class TBWriter:
     def __init__(self, logdir: str = "./tensorboard", enabled: bool = True):
