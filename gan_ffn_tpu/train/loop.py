@@ -86,8 +86,13 @@ def run_epoch(
     steps) and returns (state, EpochResult); otherwise evaluates with
     ``eval_step`` and returns EpochResult.
     """
-    losses: List[float] = []
-    all_preds: List[np.ndarray] = []
+    # Device values are accumulated WITHOUT per-batch host syncs (the
+    # reference forces a device->host transfer after every batch,
+    # train_IEMOCAP.py:159-162); everything is fetched in one transfer at
+    # epoch end, so step dispatch stays fully asynchronous.
+    dev_losses: List = []
+    dev_preds: List = []
+    batch_mask_sums: List[float] = []
     all_labels: List[np.ndarray] = []
     all_masks: List[np.ndarray] = []
 
@@ -99,8 +104,9 @@ def run_epoch(
         else:
             loss, preds = eval_step(state, arrays)
         mask_flat = batch.umask.reshape(-1)
-        losses.append(float(loss) * mask_flat.sum())
-        all_preds.append(np.asarray(preds))
+        dev_losses.append(loss)
+        dev_preds.append(preds)
+        batch_mask_sums.append(mask_flat.sum())
         all_labels.append(batch.label.reshape(-1))
         all_masks.append(mask_flat)
         n_batches += 1
@@ -109,7 +115,11 @@ def run_epoch(
         empty = EpochResult(float("nan"), float("nan"), np.array([]), np.array([]), np.array([]), float("nan"))
         return (state, empty) if train_step is not None else empty
 
-    preds = np.concatenate(all_preds)
+    fetched = jax.device_get((dev_losses, dev_preds))
+    losses = [
+        float(l) * s for l, s in zip(fetched[0], batch_mask_sums)
+    ]
+    preds = np.concatenate([np.asarray(p) for p in fetched[1]])
     labels = np.concatenate(all_labels)
     masks = np.concatenate(all_masks)
     avg_loss = round(float(np.sum(losses) / np.sum(masks)), 4)
