@@ -70,21 +70,23 @@ def train_gan(
     for epoch in range(start_epoch, start_epoch + epochs):
         t0 = time.time()
         utterances = 0
-        last_losses = None
+        # dispatch all batches asynchronously; fetch losses once per epoch
+        epoch_losses = []
         for batch in train_loader:
             arrays = batch_to_arrays(batch)
             rng, sub = jax.random.split(rng)
             state, losses = step(state, gan_batch_from(arrays), sub)
             utterances += batch.n_utterances
-            last_losses = losses
-            if log_every_batch:
-                vals = " ".join(
-                    f"{k}={float(losses[k]):.4f}" for k in LOGGED_LOSS_KEYS
-                )
-                log(f"GAN epoch {epoch} {vals}")
+            epoch_losses.append({k: losses[k] for k in LOGGED_LOSS_KEYS})
+        if not epoch_losses:
+            continue
+        fetched = jax.device_get(epoch_losses)
         dt = time.time() - t0
-        if last_losses is not None:
-            append_loss_row(history, epoch, {k: float(last_losses[k]) for k in LOGGED_LOSS_KEYS})
+        if log_every_batch:
+            for row in fetched:
+                vals = " ".join(f"{k}={float(row[k]):.4f}" for k in LOGGED_LOSS_KEYS)
+                log(f"GAN epoch {epoch} {vals}")
+        append_loss_row(history, epoch, {k: float(fetched[-1][k]) for k in LOGGED_LOSS_KEYS})
         log(
             f"GAN epoch {epoch} done in {dt:.2f}s "
             f"({12 * utterances / max(dt, 1e-9):.1f} duel-utterances/sec)"
