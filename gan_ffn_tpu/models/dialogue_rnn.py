@@ -161,6 +161,7 @@ class DialogueRNN(nn.Module):
     D_a: int = 100
     dropout: float = 0.5
     deterministic: bool = True
+    unroll: int = 1
     dtype: Any = None
 
     @nn.compact
@@ -173,6 +174,7 @@ class DialogueRNN(nn.Module):
             split_rngs={"params": False, "dropout": True},
             in_axes=0,
             out_axes=0,
+            unroll=self.unroll,
         )(
             self.D_m,
             self.D_g,
