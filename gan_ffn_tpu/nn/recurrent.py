@@ -42,8 +42,10 @@ class GRUCell(nn.Module):
         w_hh = self.param("w_hh", init, (H, 3 * H))
         b_ih = self.param("b_ih", init, (3 * H,))
         b_hh = self.param("b_hh", init, (3 * H,))
-        gi = jnp.dot(x, w_ih) + b_ih
-        gh = jnp.dot(h, w_hh) + b_hh
+        # compute in the input dtype (params stay float32 storage)
+        dt = x.dtype
+        gi = jnp.dot(x, w_ih.astype(dt)) + b_ih.astype(dt)
+        gh = jnp.dot(h.astype(dt), w_hh.astype(dt)) + b_hh.astype(dt)
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
         r = jax.nn.sigmoid(i_r + h_r)
@@ -84,10 +86,11 @@ class GRU(nn.Module):
         w_hh = self.param("w_hh_l0", init, (H, 3 * H))
         b_ih = self.param("b_ih_l0", init, (3 * H,))
         b_hh = self.param("b_hh_l0", init, (3 * H,))
-        gi = jnp.einsum("lbd,dh->lbh", x, w_ih) + b_ih
+        dt = x.dtype
+        gi = jnp.einsum("lbd,dh->lbh", x, w_ih.astype(dt)) + b_ih.astype(dt)
 
         def step(h, gi_t):
-            gh = jnp.dot(h, w_hh) + b_hh
+            gh = jnp.dot(h, w_hh.astype(dt)) + b_hh.astype(dt)
             i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
             h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
             r = jax.nn.sigmoid(i_r + h_r)
@@ -116,7 +119,11 @@ class LSTMCell(nn.Module):
         w_hh = self.param("w_hh", init, (H, 4 * H))
         b_ih = self.param("b_ih", init, (4 * H,))
         b_hh = self.param("b_hh", init, (4 * H,))
-        gates = jnp.dot(x, w_ih) + b_ih + jnp.dot(h, w_hh) + b_hh
+        dt = x.dtype
+        gates = (
+            jnp.dot(x, w_ih.astype(dt)) + b_ih.astype(dt)
+            + jnp.dot(h.astype(dt), w_hh.astype(dt)) + b_hh.astype(dt)
+        )
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
@@ -154,12 +161,13 @@ class LSTM(nn.Module):
             w_hh = self.param(f"w_hh_l{layer}{suffix}", init, (H, 4 * H))
             b_ih = self.param(f"b_ih_l{layer}{suffix}", init, (4 * H,))
             b_hh = self.param(f"b_hh_l{layer}{suffix}", init, (4 * H,))
+            dt = inputs.dtype
             # Hoist the input projection out of the scan: one big MXU matmul.
-            gi = jnp.einsum("lbd,dh->lbh", inputs, w_ih) + b_ih
+            gi = jnp.einsum("lbd,dh->lbh", inputs, w_ih.astype(dt)) + b_ih.astype(dt)
 
             def step(carry, gi_t):
                 h, c = carry
-                gates = gi_t + jnp.dot(h, w_hh) + b_hh
+                gates = gi_t + jnp.dot(h, w_hh.astype(dt)) + b_hh.astype(dt)
                 i, f, g, o = jnp.split(gates, 4, axis=-1)
                 i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
                 g = jnp.tanh(g)
