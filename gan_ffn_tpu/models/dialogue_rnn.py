@@ -80,6 +80,7 @@ class DialogueRNNCell(nn.Module):
     def __call__(self, carry, inputs):
         g_hist, q0, e0, t = carry
         U, qmask = inputs
+        qmask = qmask.astype(U.dtype)  # keep the party blend in compute dtype
         B = U.shape[0]
         L = g_hist.shape[0]
 

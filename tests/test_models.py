@@ -237,3 +237,22 @@ def test_bimodel_partial_batch_gradients_finite():
     assert np.isfinite(float(loss))
     for leaf in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_bf16_dialoguernn_and_meld_paths():
+    """Regression: bf16 compute must thread consistently through the scan
+    carries (history buffer, party/emotion states) and the LSTM layers."""
+    rng = np.random.default_rng(11)
+    m = GAN_FFN_DialogueRNN(n_classes=6, gen_num_layers=1, deterministic=True, dtype=jnp.bfloat16)
+    a = _x((L, B, 100)); v = _x((L, B, 512), 1); t = _x((L, B, 100), 2)
+    qm = jnp.asarray(np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=(L, B))])
+    um = jnp.asarray(np.ones((B, L), dtype=np.float32))
+    params = m.init(KEY, a, v, t, qm, um)
+    lp, *_ = m.apply(params, a, v, t, qm, um)
+    assert np.isfinite(np.asarray(lp)).all()
+
+    mm = MELDLSTMModel(D_m=600, D_e=32, D_h=64, n_classes=7, dtype=jnp.bfloat16)
+    x = _x((L, B, 600)).astype(jnp.bfloat16)
+    pm = mm.init(KEY, x, None, um)
+    lp2, *_ = mm.apply(pm, x, None, um, deterministic=True)
+    assert np.isfinite(np.asarray(lp2)).all()
