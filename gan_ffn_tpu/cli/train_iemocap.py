@@ -175,6 +175,8 @@ def main(argv=None) -> dict:
 
         if best is None or best[0] > test_res.avg_loss:
             best = (test_res.avg_loss, test_res.labels, test_res.preds, test_res.masks)
+            # device-side copy: the live buffers get donated by the next step
+            best_params = jax.tree.map(jnp.copy, state["params"])
 
         # reference scalar tags (train_IEMOCAP.py:702-704)
         writer.add_scalar("test: accuracy/loss", test_res.avg_accuracy / test_res.avg_loss, e)
@@ -195,6 +197,13 @@ def main(argv=None) -> dict:
         )
 
     writer.close()
+    # best-snapshot classifier checkpoint (absent in the reference: its best
+    # model existed only as in-memory metrics, train_IEMOCAP.py:693-700)
+    from ..utils.checkpoint import save_params
+
+    ckpt = os.path.join(args.model_save_path, "classifier_best.msgpack")
+    save_params(ckpt, best_params)
+    print(f"saved best classifier to {ckpt}")
     best_loss, best_label, best_pred, best_mask = best
     print("Test performance..")
     path = write_test_report(
