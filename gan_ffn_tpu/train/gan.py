@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from functools import partial
 from typing import Any, Dict
 
 import jax

@@ -8,8 +8,6 @@ complement to the per-primitive oracles in test_nn_parity.py.
 Skipped automatically when /root/reference is not present.
 """
 
-import sys
-
 import numpy as np
 import pytest
 
@@ -21,7 +19,7 @@ import torch  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from torch_mapping import encoder_params, gru_cell_params, linear_params, t2n  # noqa: E402
+from torch_mapping import encoder_params, gru_cell_params, linear_params  # noqa: E402
 
 refmodel = None
 
