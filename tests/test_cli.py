@@ -14,7 +14,13 @@ import pytest
 @pytest.fixture()
 def run_dir(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
-    return tmp_path
+    yield tmp_path
+    # The CLI mains call configure_tpu_runtime(), which flips the process-wide
+    # default PRNG impl to rbg; keys created by other test modules at import
+    # time are threefry-shaped and flax rejects them afterwards. Restore.
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
 
 
 TINY = [
