@@ -42,9 +42,10 @@ def main():
 
     import jax
 
-    from gan_ffn_tpu.utils.runtime import configure_tpu_runtime
+    from gan_ffn_tpu.utils.runtime import configure_tpu_runtime, wait_for_device
 
     configure_tpu_runtime()
+    wait_for_device()  # hosted TPU plugin registration can fail transiently
     import jax.numpy as jnp
 
     from gan_ffn_tpu.cli.common import IEMOCAP_LOSS_WEIGHTS, make_gan_ffn_apply_fns
