@@ -307,3 +307,30 @@ def test_lstm_model_full_parity():
         deterministic=True,
     )
     np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("score_function", ["dot_product", "scaled_dot_product", "mlp", "bi_linear"])
+def test_attention_all_score_functions_parity(score_function):
+    """The quirky multi-head Attention (model.py:197-286) across all four
+    score functions, incl. its softmax-over-dim-0 behavior."""
+    from gan_ffn_tpu.nn import Attention
+
+    E, H = 24, 4
+    ref = refmodel.Attention(E, n_head=H, score_function=score_function, dropout=0.6).eval()
+    ours = Attention(E, n_head=H, score_function=score_function, dropout=0.6)
+    params = {
+        "w_k": linear_params(ref.w_k),
+        "w_q": linear_params(ref.w_q),
+        "proj": linear_params(ref.proj),
+    }
+    if ref.weight is not None:
+        params["weight"] = ref.weight.detach().numpy()
+    rng = np.random.default_rng(9)
+    k = rng.normal(size=(3, 7, E)).astype(np.float32)
+    q = rng.normal(size=(3, 5, E)).astype(np.float32)
+    with torch.no_grad():
+        expected, _ = ref(torch.from_numpy(k), torch.from_numpy(q))
+    got, _ = ours.apply(
+        {"params": params}, jnp.asarray(k), jnp.asarray(q), deterministic=True
+    )
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=2e-3, atol=2e-4)
