@@ -47,6 +47,22 @@ def _class_means(rng: np.random.Generator, n_classes: int, dim: int, spread: flo
     return rng.normal(0.0, spread, size=(n_classes, dim))
 
 
+def _markov_labels(rng, L: int, n_classes: int, persistence: float) -> np.ndarray:
+    """Emotion sequence with temporal persistence: with probability
+    ``persistence`` the next utterance keeps the current emotion, else it
+    resamples uniformly — real conversations carry emotion across turns,
+    which gives context models (DialogueRNN) signal beyond per-utterance
+    features."""
+    labels = np.empty(L, dtype=np.int64)
+    labels[0] = rng.integers(0, n_classes)
+    for t in range(1, L):
+        if rng.random() < persistence:
+            labels[t] = labels[t - 1]
+        else:
+            labels[t] = rng.integers(0, n_classes)
+    return labels
+
+
 def write_synthetic_iemocap(
     path: str,
     n_train: int = 120,
@@ -56,13 +72,15 @@ def write_synthetic_iemocap(
     seed: int = 3407,
     class_spread: float = 2.0,
     noise: float = 1.0,
+    persistence: float = 0.5,
 ) -> str:
     """Write a synthetic IEMOCAP-schema feature pickle and return ``path``.
 
     Default split sizes match the real IEMOCAP feature file (120 train / 31
     test dialogues). Features for each modality are drawn from
     class-conditional Gaussians sharing per-class means across modalities, so
-    the fused space is learnable.
+    the fused space is learnable; labels carry turn-to-turn persistence so
+    dialogue-context models have exploitable temporal structure.
     """
     rng = np.random.default_rng(seed)
     dims = IEMOCAP_DIMS
@@ -74,7 +92,7 @@ def write_synthetic_iemocap(
     all_vids = [f"Ses{(i // 30) + 1:02d}_dia{i:04d}" for i in range(n_train + n_test)]
     for vid in all_vids:
         L = int(rng.integers(min_len, max_len + 1))
-        labels = rng.integers(0, IEMOCAP_N_CLASSES, size=L)
+        labels = _markov_labels(rng, L, IEMOCAP_N_CLASSES, persistence)
         speakers = ["M" if s else "F" for s in rng.integers(0, 2, size=L)]
         videoIDs[vid] = [f"{vid}_utt{t}" for t in range(L)]
         videoSpeakers[vid] = speakers
