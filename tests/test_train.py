@@ -221,3 +221,32 @@ def test_training_determinism():
     assert g1 == g2
     assert l1 == l2
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_gan_step_golden_values():
+    """Golden regression pin: exact first-step duel losses on CPU f32 for a
+    fixed seed/batch. Catches unintended semantic drift in the adversarial
+    engine across refactors (recorded 2026-08-16)."""
+    import jax.numpy as jnp2
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32)),
+        "visual": jnp.asarray(rng.normal(size=(L, B, 512)).astype(np.float32)),
+        "audio": jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32)),
+        "valid_len": jnp.asarray(L, dtype=jnp.int32),
+        "n_real": jnp.asarray(B, dtype=jnp.int32),
+    }
+    state = init_gan_state(CFG, jax.random.PRNGKey(7))
+    step = make_gan_train_step(CFG)
+    _, losses = step(state, batch, jax.random.PRNGKey(8))
+    golden = {
+        "acoustic_G_loss": 0.767894,
+        "visual_G_loss": 0.618192,
+        "text_G_loss": 0.616881,
+        "visual_D_loss": 0.713854,
+        "text_D_loss": 0.678498,
+        "acoustic_D_loss": 0.700438,
+    }
+    for k, v in golden.items():
+        assert float(losses[k]) == pytest.approx(v, abs=2e-4), k
