@@ -334,3 +334,68 @@ def test_attention_all_score_functions_parity(score_function):
         {"params": params}, jnp.asarray(k), jnp.asarray(q), deterministic=True
     )
     np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("att_type", ["dot", "general", "general2", "concat"])
+def test_matching_attention_all_types_parity(att_type):
+    """Standalone MatchingAttention (model.py:134-194) for all four score
+    types, full-mask case (mask semantics under masking are covered by the
+    BiModel transplant + numpy oracles)."""
+    from gan_ffn_tpu.nn import MatchingAttention
+
+    Lm, Bm, Dm, Dc, Da = 7, 3, 12, 12, 6
+    ref = refmodel.MatchingAttention(Dm, Dc, alpha_dim=Da, att_type=att_type).eval()
+    ours = MatchingAttention(Dm, Dc, alpha_dim=Da, att_type=att_type)
+    params = {}
+    if att_type in ("general", "general2"):
+        params["transform"] = linear_params(ref.transform)
+    elif att_type == "concat":
+        params["transform"] = linear_params(ref.transform)
+        params["vector_prod"] = linear_params(ref.vector_prod)
+    rng = np.random.default_rng(10)
+    M = rng.normal(size=(Lm, Bm, Dm)).astype(np.float32)
+    x = rng.normal(size=(Bm, Dc)).astype(np.float32)
+    mask = np.ones((Bm, Lm), dtype=np.float32)
+    with torch.no_grad():
+        expected, alpha_ref = ref(torch.from_numpy(M), torch.from_numpy(x), torch.from_numpy(mask))
+    got, alpha = ours.apply(
+        {"params": params}, jnp.asarray(M), jnp.asarray(x), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alpha), alpha_ref.numpy().reshape(np.asarray(alpha).shape), rtol=2e-4, atol=2e-5)
+
+
+def test_bimodel_active_listener_parity():
+    """DialogueRNN with listener_state=True (the l_cell path,
+    model.py:851-852, 902-918) against the reference."""
+    import gan_ffn_tpu.models as M
+
+    D_m, D_g, D_p, D_e, D_h, C = 12, 10, 8, 6, 7, 6
+    ref = refmodel.BiModel(
+        D_m, D_g, D_p, D_e, D_h, n_classes=C, listener_state=True,
+        context_attention="simple", dropout_rec=0.1, dropout=0.5,
+    ).eval()
+    ours = M.BiModel(
+        D_m, D_g, D_p, D_e, D_h, n_classes=C, listener_state=True,
+        context_attention="simple", dropout_rec=0.1, dropout=0.5,
+        deterministic=True,
+    )
+    params = {
+        "dialog_rnn_f": _dialogue_rnn_params(ref.dialog_rnn_f, "simple"),
+        "dialog_rnn_r": _dialogue_rnn_params(ref.dialog_rnn_r, "simple"),
+        "linear": linear_params(ref.linear),
+        "smax_fc": linear_params(ref.smax_fc),
+        "matchatt": {"transform": linear_params(ref.matchatt.transform)},
+    }
+    rng = np.random.default_rng(11)
+    U = rng.normal(size=(L, B, D_m)).astype(np.float32)
+    qmask = np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=(L, B))]
+    umask = np.ones((B, L), dtype=np.float32)
+    with torch.no_grad():
+        expected, *_ = ref(
+            torch.from_numpy(U), torch.from_numpy(qmask), torch.from_numpy(umask)
+        )
+    got, *_ = ours.apply(
+        {"params": params}, jnp.asarray(U), jnp.asarray(qmask), jnp.asarray(umask)
+    )
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=2e-3, atol=2e-4)
