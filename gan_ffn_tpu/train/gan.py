@@ -87,6 +87,10 @@ class GANConfig:
     dtype: Any = None
     seed: int = 3407
     fused_schedule: bool = True
+    # Cache the compiled fused-schedule executable on disk: the hosted TPU
+    # stack bypasses jax's persistent compile cache, and this program costs
+    # ~10-15 min to build per process otherwise (utils/aot.py).
+    aot_cache: bool = True
 
 
 def create_gan_modules(cfg: GANConfig) -> Dict[str, Any]:
@@ -248,6 +252,12 @@ def make_gan_train_step(cfg: GANConfig):
             return {"params": params, "opt": opt_state}, losses
 
     if cfg.fused_schedule:
+        if cfg.aot_cache:
+            from ..utils.aot import ShapeDispatchingAOT
+
+            return ShapeDispatchingAOT(
+                run_schedule, salt=f"gan12duel:{cfg}", donate_argnums=(0,)
+            )
         return jax.jit(run_schedule, donate_argnums=(0,))
 
     # Per-duel jitted steps: each compiles/caches independently.

@@ -1,0 +1,121 @@
+"""AOT executable caching.
+
+The hosted TPU stack bypasses jax's persistent compilation cache, so every
+fresh process pays the full compile of the one-program 12-duel GAN step
+(~10-15 min on v5e). ``cached_compile`` serializes the compiled XLA
+executable to disk (``jax.experimental.serialize_executable``) and reloads it
+on the next run — trace+lower still happens (seconds), but the compile is
+skipped.
+
+The cache key covers: a caller salt, the jax version, the device kind and
+count, and a hash of the lowered StableHLO — so any change to the traced
+computation (code, shapes, dtypes, donation) produces a new entry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/gan_ffn_tpu_xla/exec")
+
+
+def _cache_key(salt: str, lowered) -> str:
+    dev = jax.devices()[0]
+    h = hashlib.sha256()
+    h.update(salt.encode())
+    h.update(jax.__version__.encode())
+    h.update(f"{dev.platform}:{getattr(dev, 'device_kind', '?')}:{jax.device_count()}".encode())
+    h.update(lowered.as_text().encode())
+    return h.hexdigest()[:32]
+
+
+def cached_compile(
+    fn: Callable,
+    example_args: Sequence[Any],
+    salt: str = "",
+    donate_argnums: Sequence[int] = (),
+    cache_dir: Optional[str] = None,
+):
+    """Compile ``fn`` for ``example_args`` with an on-disk executable cache.
+
+    Returns a compiled callable taking the same pytree arguments. Falls back
+    to plain compilation if (de)serialization is unsupported on the backend.
+    """
+    cache_dir = cache_dir or os.environ.get("GANFFN_EXEC_CACHE", DEFAULT_CACHE_DIR)
+    lowered = jax.jit(fn, donate_argnums=tuple(donate_argnums)).lower(*example_args)
+    try:
+        from jax.experimental import serialize_executable as se
+    except Exception:  # pragma: no cover - always present in modern jax
+        return lowered.compile()
+
+    # deserialize_and_load reconstructs over ALL addressable devices, which
+    # breaks single-device programs on multi-device hosts (e.g. the 8-CPU
+    # test mesh). The expensive-compile case this cache exists for is the
+    # single-chip TPU, so restrict to that topology.
+    if len(jax.devices()) != 1:
+        return lowered.compile()
+
+    key = _cache_key(salt, lowered)
+    path = os.path.join(cache_dir, f"{key}.jaxexec")
+    if os.path.exists(path):
+        try:
+            import pickle
+
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree = pickle.load(f)
+            compiled = se.deserialize_and_load(payload, in_tree, out_tree)
+            logger.info("loaded cached executable %s", path)
+            return compiled
+        except Exception as e:  # stale/incompatible entry: recompile
+            logger.warning("executable cache load failed (%s); recompiling", e)
+
+    compiled = lowered.compile()
+    try:
+        import pickle
+
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(se.serialize(compiled), f)
+        os.replace(tmp, path)
+        logger.info("stored executable cache %s", path)
+    except Exception as e:  # pragma: no cover - serialization unsupported
+        logger.warning("executable cache store failed: %s", e)
+    return compiled
+
+
+class ShapeDispatchingAOT:
+    """Lazy per-shape AOT wrapper: behaves like ``jax.jit(fn)`` but each new
+    argument-shape signature goes through :func:`cached_compile`.
+
+    Used for the bucketed train steps: one executable per bucket shape, all
+    disk-cached across processes.
+    """
+
+    def __init__(self, fn, salt: str = "", donate_argnums: Sequence[int] = ()):
+        self._fn = fn
+        self._salt = salt
+        self._donate = tuple(donate_argnums)
+        self._compiled = {}
+
+    def __call__(self, *args):
+        sig = jax.tree.map(
+            lambda x: (getattr(x, "shape", None), str(getattr(x, "dtype", type(x)))), args
+        )
+        import json
+
+        key = json.dumps(jax.tree.leaves(sig), sort_keys=False)
+        compiled = self._compiled.get(key)
+        if compiled is None:
+            compiled = cached_compile(
+                self._fn, args, salt=self._salt, donate_argnums=self._donate
+            )
+            self._compiled[key] = compiled
+        return compiled(*args)
