@@ -106,8 +106,16 @@ class ShapeDispatchingAOT:
         self._compiled = {}
 
     def __call__(self, *args):
+        # shape + dtype + SHARDING: an AOT executable is specialized to its
+        # input shardings, so same-shaped calls with different placements
+        # must dispatch to different executables.
         sig = jax.tree.map(
-            lambda x: (getattr(x, "shape", None), str(getattr(x, "dtype", type(x)))), args
+            lambda x: (
+                getattr(x, "shape", None),
+                str(getattr(x, "dtype", type(x))),
+                str(getattr(x, "sharding", None)),
+            ),
+            args,
         )
         import json
 
