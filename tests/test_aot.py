@@ -4,6 +4,7 @@ the wrapper must still compile/dispatch correctly)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gan_ffn_tpu.utils.aot import ShapeDispatchingAOT, cached_compile
 
@@ -15,7 +16,7 @@ def test_cached_compile_runs():
     x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 8)).astype(np.float32))
     compiled = cached_compile(f, (x, x), salt="test")
     expected = float((np.asarray(x) @ np.asarray(x)).sum())
-    assert float(compiled(x, x)) == np.float32(expected)
+    assert float(compiled(x, x)) == pytest.approx(expected, rel=1e-5)
 
 
 def test_shape_dispatching_aot():
