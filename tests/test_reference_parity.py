@@ -399,3 +399,114 @@ def test_bimodel_active_listener_parity():
         {"params": params}, jnp.asarray(U), jnp.asarray(qmask), jnp.asarray(umask)
     )
     np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_emoformer_full_parity():
+    """Emoformer (model.py:589-688), default attention=False path: stacked
+    quirky Attentions, shared LayerNorms, FullyConnection towers, LSTM."""
+    import gan_ffn_tpu.models as M
+    from torch_mapping import layernorm_params, lstm_params
+
+    D_m, D_e, C = 100, 30, 6
+    ref = refmodel.Emoformer(D_m, D_e, n_classes=C, dropout=0.5, attention=False).eval()
+    ours = M.Emoformer(D_m=D_m, D_e=D_e, n_classes=C, dropout=0.5, attention=False)
+
+    def attn_params(a):
+        return {"w_k": linear_params(a.w_k), "w_q": linear_params(a.w_q),
+                "proj": linear_params(a.proj)}
+
+    def fc_params(fc):
+        return {f"fc{i}": linear_params(getattr(fc, f"fc{i}")) for i in range(1, 6)}
+
+    params = {
+        **{f"attention_{i}": attn_params(getattr(ref, f"attention_{i}")) for i in range(1, 7)},
+        "norm_1": layernorm_params(ref.norm_1),
+        "norm_2": layernorm_params(ref.norm_2),
+        "transform": linear_params(ref.transform),
+        "transform3": linear_params(ref.transform3),
+        "transform4": linear_params(ref.transform4),
+        "fc1": fc_params(ref.fc1),
+        "fc2": fc_params(ref.fc2),
+        "fc3": fc_params(ref.fc3),
+        "lstm": lstm_params(ref.lstm),
+        "smax_fc": linear_params(ref.smax_fc),
+    }
+    rng = np.random.default_rng(12)
+    t = rng.normal(size=(L, B, D_m)).astype(np.float32)
+    a = rng.normal(size=(L, B, D_m)).astype(np.float32)
+    v = rng.normal(size=(L, B, 512)).astype(np.float32)
+    umask = np.ones((B, L), dtype=np.float32)
+    with torch.no_grad():
+        expected, *_ = ref(
+            torch.from_numpy(t), torch.from_numpy(a), torch.from_numpy(v),
+            None, torch.from_numpy(umask),
+        )
+    got, *_ = ours.apply(
+        {"params": params},
+        jnp.asarray(t), jnp.asarray(a), jnp.asarray(v), None, jnp.asarray(umask),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=5e-3, atol=5e-4)
+
+
+def test_cnn_reference_is_unrunnable():
+    """The reference CNN (model.py:301-354) crashes on its own final line:
+    ``F.log_softmax(self.fc(cat), 2)`` on a 2-D (batch, classes) tensor is an
+    out-of-range dim — like TextCNN, it is dead code that cannot execute.
+    Our ``models.baselines.CNN`` implements the evident intent (softmax over
+    the class axis) and is covered by its own smoke test."""
+    ref = refmodel.CNN(100, 16, [2, 3, 4], 6, dropout=0.2).eval()
+    t = torch.from_numpy(
+        np.random.default_rng(13).normal(size=(L, B, 100)).astype(np.float32)
+    )
+    import contextlib, io
+
+    with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
+        with pytest.raises(IndexError):
+            ref(t, None, None)
+
+
+def test_e2e_lstm_model_full_parity():
+    """Token-level pipeline (model.py:691-825): CNN feature extractor + LSTM."""
+    import gan_ffn_tpu.models as M
+    from torch_mapping import lstm_params
+
+    V, EMB, OUT, FILT, C = 40, 16, 12, 8, 6
+    ref = refmodel.E2ELSTMModel(
+        D_e=10, D_h=14, vocab_size=V, embedding_dim=EMB, cnn_output_size=OUT,
+        cnn_filters=FILT, cnn_kernel_sizes=(3, 4, 5), cnn_dropout=0.5,
+        n_classes=C, dropout=0.5, attention=True,
+    ).eval()
+    ours = M.E2ELSTMModel(
+        D_e=10, D_h=14, vocab_size=V, embedding_dim=EMB, cnn_output_size=OUT,
+        cnn_filters=FILT, cnn_kernel_sizes=(3, 4, 5), cnn_dropout=0.5,
+        n_classes=C, dropout=0.5, attention=True,
+    )
+    fe = ref.cnn_feat_extractor
+    fe_params = {
+        "embedding": {"embedding": fe.embedding.weight.detach().numpy()},
+        "fc": linear_params(fe.fc),
+    }
+    for K, conv in zip((3, 4, 5), fe.convs):
+        # torch Conv1d weight (F, E, K) -> flax kernel (K, E, F)
+        fe_params[f"conv_{K}"] = {
+            "kernel": conv.weight.detach().numpy().transpose(2, 1, 0),
+            "bias": conv.bias.detach().numpy(),
+        }
+    params = {
+        "cnn_feat_extractor": fe_params,
+        "lstm": lstm_params(ref.lstm),
+        "matchatt": {"transform": linear_params(ref.matchatt.transform)},
+        "linear": linear_params(ref.linear),
+        "smax_fc": linear_params(ref.smax_fc),
+    }
+    rng = np.random.default_rng(14)
+    tokens = rng.integers(1, V, size=(L, B, 9)).astype(np.int64)
+    umask = np.ones((B, L), dtype=np.float32)
+    with torch.no_grad():
+        expected, *_ = ref(torch.from_numpy(tokens), None, torch.from_numpy(umask))
+    got, *_ = ours.apply(
+        {"params": params}, jnp.asarray(tokens), None, jnp.asarray(umask),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=2e-3, atol=2e-4)
