@@ -70,6 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-layers", type=int, default=8, help="transformer encoder depth")
     p.add_argument("--bf16", action="store_true", default=False, help="bfloat16 compute")
     p.add_argument("--seed", type=int, default=3407)
+    p.add_argument("--strict-parity", action="store_true", default=False,
+                   help="replicate the reference's NaN on constant-feature normalization")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="write a jax.profiler trace of one train epoch to LOGDIR")
     p.add_argument("--synthetic-train", type=int, default=120,
@@ -103,7 +105,8 @@ def main(argv=None) -> dict:
     # Stage A loaders (reference train_GAN builds its own with valid=0.1,
     # train_IEMOCAP.py:303-309)
     gan_train_loader, _, _ = get_iemocap_loaders(
-        args.data_path, batch_size=32, valid=0.1, seed=args.seed
+        args.data_path, batch_size=32, valid=0.1, seed=args.seed,
+        strict_parity=args.strict_parity,
     )
 
     loss_csv = os.path.join(args.output_dir, "GAN_loss.csv")
@@ -138,7 +141,8 @@ def main(argv=None) -> dict:
         dtype=dtype,
     )
     train_loader, valid_loader, test_loader = get_iemocap_loaders(
-        args.data_path, batch_size=args.batch_size, valid=0.1, seed=args.seed
+        args.data_path, batch_size=args.batch_size, valid=0.1, seed=args.seed,
+        strict_parity=args.strict_parity,
     )
     from ..train.loop import batch_to_arrays
 

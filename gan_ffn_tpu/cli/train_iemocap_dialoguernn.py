@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-layers", type=int, default=8)
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=3407)
+    p.add_argument("--strict-parity", action="store_true", default=False,
+                   help="replicate the reference's NaN on constant-feature normalization")
     p.add_argument("--synthetic-train", type=int, default=120)
     p.add_argument("--synthetic-test", type=int, default=31)
     return p
@@ -89,7 +91,8 @@ def main(argv=None) -> dict:
         seed=args.seed,
     )
     gan_train_loader, _, _ = get_iemocap_loaders(
-        args.data_path, batch_size=32, valid=0.1, seed=args.seed
+        args.data_path, batch_size=32, valid=0.1, seed=args.seed,
+        strict_parity=args.strict_parity,
     )
 
     if args.use_trained_GAN and os.path.exists(
@@ -119,7 +122,8 @@ def main(argv=None) -> dict:
     model_eval = GAN_FFN_DialogueRNN(**model_kwargs, deterministic=True)
 
     train_loader, valid_loader, test_loader = get_iemocap_loaders(
-        args.data_path, batch_size=args.batch_size, valid=0.1, seed=args.seed
+        args.data_path, batch_size=args.batch_size, valid=0.1, seed=args.seed,
+        strict_parity=args.strict_parity,
     )
     sample = batch_to_arrays(next(iter(train_loader)))
     params = model_eval.init(

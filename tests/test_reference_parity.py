@@ -549,3 +549,20 @@ def test_import_reference_checkpoints(tmp_path):
         expected = nets["acoustic_gen"].eval()(torch.from_numpy(x)).numpy()
     got = ours.apply({"params": params}, jnp.asarray(x), deterministic=True)
     np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-3, atol=2e-4)
+
+
+def test_emoformer_attention_path_is_unrunnable():
+    """Emoformer's attention=True branch (model.py:669-681) adds a 2048-d
+    matching output to the 100-d raw text features — a shape mismatch that
+    crashes the reference for any D_m != 2048. Dead code, like TextCNN and
+    CNN's final log_softmax; our Emoformer replicates the same math (and
+    would fail identically), with the working attention=False default
+    pinned by test_emoformer_full_parity."""
+    ref = refmodel.Emoformer(100, 30, n_classes=6, dropout=0.5, attention=True).eval()
+    rng = np.random.default_rng(21)
+    t = torch.from_numpy(rng.normal(size=(6, 2, 100)).astype(np.float32))
+    a = torch.from_numpy(rng.normal(size=(6, 2, 100)).astype(np.float32))
+    v = torch.from_numpy(rng.normal(size=(6, 2, 512)).astype(np.float32))
+    um = torch.ones(2, 6)
+    with torch.no_grad(), pytest.raises(RuntimeError):
+        ref(t, a, v, None, um)
