@@ -31,6 +31,13 @@ IEMOCAP_LOSS_WEIGHTS = np.array(
 )
 
 
+def itr_merge(*itrs):
+    """Chain iterators (reference train_IEMOCAP.py:57-60; unused there too —
+    kept for API completeness)."""
+    for itr in itrs:
+        yield from itr
+
+
 def gan_batch_from(arrays: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     return {
         "text": arrays["text"],
