@@ -58,12 +58,15 @@ def train_gan(
     rng: Optional[jax.Array] = None,
     log: Callable[[str], None] = print,
     log_every_batch: bool = True,
+    mesh=None,
 ) -> Tuple[GANState, LossHistory]:
     """Adversarial pre-training stage (reference train_GAN,
     train_IEMOCAP.py:255-393).
 
     Appends one loss row per epoch (the last batch's losses) to ``history``,
-    replicating the reference CSV cadence.
+    replicating the reference CSV cadence. With ``mesh``, the 12-duel step
+    runs data-parallel over it (the stage the reference data-parallelizes
+    with nn.DataParallel, train_IEMOCAP.py:588-593).
     """
     if state is None:
         state = init_gan_state(cfg, jax.random.PRNGKey(cfg.seed))
@@ -71,7 +74,11 @@ def train_gan(
         history = []
     if rng is None:
         rng = jax.random.PRNGKey(cfg.seed + 1)
-    step = make_gan_train_step(cfg)
+    step = make_gan_train_step(cfg, mesh=mesh)
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        state = replicate(state, mesh)
 
     log("=" * 15 + " start training GAN " + "=" * 15)
     for epoch in range(start_epoch, start_epoch + epochs):
@@ -82,7 +89,12 @@ def train_gan(
         for batch in train_loader:
             arrays = batch_to_arrays(batch)
             rng, sub = jax.random.split(rng)
-            state, losses = step(state, gan_batch_from(arrays), sub)
+            gan_batch = gan_batch_from(arrays)
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                gan_batch = shard_batch(gan_batch, mesh)
+            state, losses = step(state, gan_batch, sub)
             utterances += batch.n_utterances
             epoch_losses.append({k: losses[k] for k in LOGGED_LOSS_KEYS})
         if not epoch_losses:

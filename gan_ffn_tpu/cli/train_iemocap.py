@@ -68,6 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--model-save-path", default="./GAN_save/")
     p.add_argument("--num-layers", type=int, default=8, help="transformer encoder depth")
+    p.add_argument("--dp", action="store_true", default=False,
+                   help="shard the stage-A GAN batch over all local devices (mesh "
+                        "data parallelism; the TPU-native form of the reference's "
+                        "nn.DataParallel over the six GAN nets, train_IEMOCAP.py:588-593)")
+    p.add_argument("--lr-schedule", choices=("reference", "decay"), default="reference",
+                   help="reference: constant lr (replicates the per-batch LambdaLR "
+                        "re-creation quirk, train_IEMOCAP.py:129-133,170); decay: the "
+                        "0.98^epoch decay that scheduler was meant to apply")
     p.add_argument("--bf16", action="store_true", default=False, help="bfloat16 compute")
     p.add_argument("--seed", type=int, default=3407)
     p.add_argument("--strict-parity", action="store_true", default=False,
@@ -112,6 +120,16 @@ def main(argv=None) -> dict:
     loss_csv = os.path.join(args.output_dir, "GAN_loss.csv")
     loss_png = os.path.join(args.output_dir, "GAN_loss.png")
 
+    gan_mesh = None
+    if args.dp:
+        from ..parallel import make_mesh
+
+        if jax.device_count() > 1:
+            gan_mesh = make_mesh()
+            print(f"stage A data parallelism over {jax.device_count()} devices")
+        else:
+            print("--dp requested but only one device present; running single-chip")
+
     if args.use_trained_GAN:
         template = init_gan_state(gan_cfg, jax.random.PRNGKey(args.seed))
         gan_state = load_gan_state(args.model_save_path, template, reset_opt=True)
@@ -122,14 +140,16 @@ def main(argv=None) -> dict:
             start = (history[-1]["epoch"] + 1) if history else 0
             gan_state, history = train_gan(
                 gan_cfg, gan_train_loader, args.continue_train_GAN_step,
-                state=gan_state, history=history, start_epoch=start,
+                state=gan_state, history=history, start_epoch=start, mesh=gan_mesh,
             )
             save_gan_loss_csv(history, loss_csv)
             draw_gan_loss(history, loss_png)
             save_gan_state(args.model_save_path, gan_state)
             print("=" * 15, "finished training GAN", "=" * 15)
     else:
-        gan_state, history = train_gan(gan_cfg, gan_train_loader, args.GAN_epochs)
+        gan_state, history = train_gan(
+            gan_cfg, gan_train_loader, args.GAN_epochs, mesh=gan_mesh
+        )
         save_gan_loss_csv(history, loss_csv)
         draw_gan_loss(history, loss_png)
         save_gan_state(args.model_save_path, gan_state)
@@ -160,6 +180,10 @@ def main(argv=None) -> dict:
         apply_train, apply_eval, optimizer, n_classes, loss_weights
     )
     state = init_classifier_state(params, optimizer)
+    if args.tensorboard:
+        from ..train.classifier import make_grad_fn
+
+        grad_fn = make_grad_fn(apply_train, n_classes, loss_weights)
 
     print("=" * 15, "data loaded", "=" * 15)
     from ..utils.tensorboard import TBWriter
@@ -172,10 +196,19 @@ def main(argv=None) -> dict:
         rng, sub = jax.random.split(rng)
         from ..utils.profiling import trace
 
+        lr_scale = float(0.98**e) if args.lr_schedule == "decay" else None
         with trace(args.profile if e == 1 else None):  # epoch 1: post-compile
-            state, train_res = run_epoch(train_loader, state, train_step=train_step, rng=sub)
+            state, train_res = run_epoch(
+                train_loader, state, train_step=train_step, rng=sub, lr_scale=lr_scale
+            )
         valid_res = run_epoch(valid_loader, state["params"], eval_step=eval_step)
         test_res = run_epoch(test_loader, state["params"], eval_step=eval_step)
+
+        if writer.enabled:
+            # per-parameter gradient histograms (reference logs these every
+            # batch, train_IEMOCAP.py:166-168; sampled once per epoch here)
+            rng, gsub = jax.random.split(rng)
+            writer.add_param_histograms(grad_fn(state["params"], gsub, sample), e)
 
         if best is None or best[0] > test_res.avg_loss:
             best = (test_res.avg_loss, test_res.labels, test_res.preds, test_res.masks)

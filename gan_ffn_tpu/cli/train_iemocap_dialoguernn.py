@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--model-save-path", default="./GAN_save/")
     p.add_argument("--num-layers", type=int, default=8)
+    p.add_argument("--lr-schedule", choices=("reference", "decay"), default="reference",
+                   help="reference: constant lr (per-batch LambdaLR quirk); decay: "
+                        "honest 0.98^epoch decay")
+    p.add_argument("--dp", action="store_true", default=False,
+                   help="shard the stage-A GAN batch over all local devices")
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=3407)
     p.add_argument("--strict-parity", action="store_true", default=False,
@@ -102,7 +107,15 @@ def main(argv=None) -> dict:
         gan_state = load_gan_state(args.model_save_path, template, reset_opt=True)
         print("=" * 15, args.model_save_path + " loaded trained GAN", "=" * 15)
     else:
-        gan_state, history = train_gan(gan_cfg, gan_train_loader, args.GAN_epochs)
+        gan_mesh = None
+        if args.dp and jax.device_count() > 1:
+            from ..parallel import make_mesh
+
+            gan_mesh = make_mesh()
+            print(f"stage A data parallelism over {jax.device_count()} devices")
+        gan_state, history = train_gan(
+            gan_cfg, gan_train_loader, args.GAN_epochs, mesh=gan_mesh
+        )
         save_gan_loss_csv(history, os.path.join(args.output_dir, "GAN_loss.csv"))
         draw_gan_loss(history, os.path.join(args.output_dir, "GAN_loss.png"))
         save_gan_state(args.model_save_path, gan_state)
@@ -157,16 +170,34 @@ def main(argv=None) -> dict:
     )
     state = init_classifier_state(params, optimizer)
 
+    from ..utils.tensorboard import TBWriter
+
+    writer = TBWriter("./tensorboard", enabled=args.tensorboard)
+    if args.tensorboard:
+        from ..train.classifier import make_grad_fn
+
+        grad_fn = make_grad_fn(apply_train, n_classes, loss_weights)
+
     best = None
     rng = jax.random.PRNGKey(args.seed + 2)
     for e in range(args.epochs):
         start_time = time.time()
         rng, sub = jax.random.split(rng)
-        state, train_res = run_epoch(train_loader, state, train_step=train_step, rng=sub)
+        lr_scale = float(0.98**e) if args.lr_schedule == "decay" else None
+        state, train_res = run_epoch(
+            train_loader, state, train_step=train_step, rng=sub, lr_scale=lr_scale
+        )
         valid_res = run_epoch(valid_loader, state["params"], eval_step=eval_step)
         test_res = run_epoch(test_loader, state["params"], eval_step=eval_step)
         if best is None or best[0] > test_res.avg_loss:
             best = (test_res.avg_loss, test_res.labels, test_res.preds, test_res.masks)
+        if writer.enabled:
+            # reference scalar tags (train_IEMOCAP_DialogueRNN.py:787-789) +
+            # per-parameter grad histograms (167-169), sampled per epoch
+            writer.add_scalar("test: accuracy/loss", test_res.avg_accuracy / test_res.avg_loss, e)
+            writer.add_scalar("train: accuracy/loss", train_res.avg_accuracy / train_res.avg_loss, e)
+            rng, gsub = jax.random.split(rng)
+            writer.add_param_histograms(grad_fn(state["params"], gsub, sample), e)
         elapsed = round(time.time() - start_time, 2)
         print(
             "epoch {} train_loss {} train_acc {} train_fscore {} valid_loss {} "
@@ -178,6 +209,7 @@ def main(argv=None) -> dict:
             )
         )
 
+    writer.close()
     best_loss, best_label, best_pred, best_mask = best
     final_f1 = round(
         f1_score(best_label, best_pred, sample_weight=best_mask, average="weighted") * 100, 2

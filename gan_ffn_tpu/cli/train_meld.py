@@ -90,6 +90,14 @@ def main(argv=None) -> dict:
     )
     state = init_classifier_state(params, optimizer)
 
+    from ..utils.tensorboard import TBWriter
+
+    writer = TBWriter("./tensorboard", enabled=args.tensorboard)
+    if args.tensorboard:
+        from ..train.classifier import make_grad_fn
+
+        grad_fn = make_grad_fn(apply_train, n_classes, None)
+
     best = None  # (fscore, loss, labels, preds, masks)
     rng = jax.random.PRNGKey(args.seed + 2)
     for e in range(args.epochs):
@@ -104,6 +112,13 @@ def main(argv=None) -> dict:
         test_res = run_epoch(
             test_loader, state["params"], eval_step=eval_step, with_visual=False
         )
+        if writer.enabled:
+            # reference scalar tags (train_MELD.py:179-181) + grad histograms
+            # (train_MELD.py:83-85), sampled per epoch
+            writer.add_scalar("test: accuracy/loss", test_res.avg_accuracy / test_res.avg_loss, e)
+            writer.add_scalar("train: accuracy/loss", train_res.avg_accuracy / train_res.avg_loss, e)
+            rng, gsub = jax.random.split(rng)
+            writer.add_param_histograms(grad_fn(state["params"], gsub, sample), e)
         if best is None or best[0] < test_res.avg_fscore:
             best = (
                 test_res.avg_fscore, test_res.avg_loss,
@@ -125,6 +140,7 @@ def main(argv=None) -> dict:
             )
         )
 
+    writer.close()
     best_fscore, best_loss, best_label, best_pred, best_mask = best
     print("Test performance..")
     print(

@@ -11,8 +11,13 @@ Learning-rate quirk preserved: the reference re-creates a
 (train_IEMOCAP.py:129-133,170). Since LambdaLR resets the group lr to
 ``initial_lr * 0.98^0`` on construction and ``optimizer.step`` runs before
 ``scheduler.step``, every optimizer step actually uses the BASE lr — i.e. the
-effective schedule is constant lr. ``lr_schedule="reference"`` replicates
-that; ``"decay"`` applies an honest 0.98^epoch decay.
+effective schedule is constant lr. ``train_step``'s optional ``lr_scale``
+argument implements both policies without recompiling: the default 1.0
+replicates the reference ("reference" schedule); passing ``0.98**epoch``
+applies the decay the reference's scheduler was *meant* to apply ("decay"
+schedule, ``--lr-schedule decay`` in the CLIs). The scale multiplies the
+final update — exactly what torch's group-lr scaling does (the L2 term is
+decayed too, as in torch where weight decay is folded into the gradient).
 
 Generator grafting: ``graft_generator_params`` moves adversarially
 pre-trained generator params into a classifier param tree (the reference
@@ -84,7 +89,7 @@ def make_classifier_steps(
         preds = jnp.argmax(lp, axis=1)
         return loss, preds
 
-    def train_step(state: ClassifierState, rng, batch):
+    def train_step(state: ClassifierState, rng, batch, lr_scale=1.0):
         def loss_fn(p):
             log_prob = apply_train(p, rng, batch)
             loss, preds = loss_and_preds(log_prob, batch)
@@ -92,6 +97,7 @@ def make_classifier_steps(
 
         (loss, preds), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
         updates, opt = optimizer.update(grads, state["opt"], state["params"])
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(state["params"], updates)
         return {"params": params, "opt": opt}, loss, preds
 
@@ -100,3 +106,28 @@ def make_classifier_steps(
         return loss_and_preds(log_prob, batch)
 
     return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+
+
+def make_grad_fn(
+    apply_train: Callable,
+    n_classes: int,
+    loss_weights: Optional[jnp.ndarray] = None,
+):
+    """Jitted per-parameter gradient extractor for observability.
+
+    Backs the ``--tensorboard`` per-parameter gradient histograms (the
+    reference logs ``writer.add_histogram(name, param.grad)`` for every
+    parameter every batch, train_IEMOCAP.py:166-168; here the CLI samples one
+    batch per epoch so no per-step host sync is forced).
+    """
+
+    def grad_fn(params, rng, batch):
+        def loss_fn(p):
+            log_prob = apply_train(p, rng, batch)
+            lp = log_prob.transpose(1, 0, 2).reshape(-1, n_classes)
+            labels = batch["label"].reshape(-1)
+            return masked_nll_loss(lp, labels, batch["umask"], loss_weights)
+
+        return jax.grad(loss_fn)(params)
+
+    return jax.jit(grad_fn)

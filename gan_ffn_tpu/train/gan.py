@@ -158,12 +158,24 @@ def _duel_mask(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return mask.astype(jnp.float32)[:, :, None]
 
 
-def make_gan_train_step(cfg: GANConfig):
+def make_gan_train_step(cfg: GANConfig, mesh=None):
     """Build the GAN train step over the 12-duel schedule.
 
     step(state, batch, rng) -> (state, losses) where batch carries
     text/visual/audio (L, B, D), valid_len (), n_real () and losses maps each
     schedule entry index and the six logged CSV keys to scalars.
+
+    ``mesh`` (optional ``jax.sharding.Mesh``) runs the step data-parallel:
+    params/opt replicate, the batch axis shards over the mesh, and XLA
+    inserts the gradient all-reduces over ICI. This is the TPU-native
+    replacement for the reference wrapping the six GAN nets in
+    ``nn.DataParallel`` for stage A (train_IEMOCAP.py:588-593) — and unlike
+    DataParallel (which README.md:83 records as DEGRADING accuracy) it is
+    numerically equivalent to the single-device step, because the masked BCE
+    means are computed globally (verified in tests/test_parallel.py::
+    test_gan_dp_step_matches_single_device). Sharding constraints are applied
+    inside the program, so callers may pass host arrays or pre-sharded ones
+    (``parallel.shard_batch``).
 
     ``cfg.fused_schedule`` selects the compilation strategy:
     - True (default): ONE jitted program for all 12 duels — minimal dispatch,
@@ -181,6 +193,20 @@ def make_gan_train_step(cfg: GANConfig):
 
         Returns (updated net params, updated opt state, loss).
         """
+        if mesh is not None:
+            # DP shardings hold for the separately-jitted duels too (the
+            # fused path additionally constrains the whole state at entry)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import batch_sharding
+
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, batch_sharding(mesh, k))
+                for k, v in batch.items()
+            }
+            net_params, opp_params, opt_state_net = jax.lax.with_sharding_constraint(
+                (net_params, opp_params, opt_state_net), NamedSharding(mesh, P())
+            )
         kind, net, net_mod, opp, opp_mod, log_key = DUEL_SCHEDULE[i]
         mask = _duel_mask(batch)
         valid_len = batch["valid_len"]
@@ -228,6 +254,21 @@ def make_gan_train_step(cfg: GANConfig):
         net_params = optax.apply_updates(net_params, updates)
         return net_params, opt_state_net, loss
 
+    def constrain_dp(state, batch):
+        """Pin DP shardings: batch axis over the mesh, state replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import batch_sharding
+
+        batch = {
+            k: jax.lax.with_sharding_constraint(v, batch_sharding(mesh, k))
+            for k, v in batch.items()
+        }
+        state = jax.lax.with_sharding_constraint(
+            state, NamedSharding(mesh, P())
+        )
+        return state, batch
+
     def run_schedule(state, batch, rng):
         # The fused schedule instantiates ~60 attention sites (12 duels x
         # multiple encoders x fwd/bwd); with the Pallas kernel each site is a
@@ -238,6 +279,8 @@ def make_gan_train_step(cfg: GANConfig):
         from ..ops.config import use_pallas_attention
 
         with use_pallas_attention(False):
+            if mesh is not None:
+                state, batch = constrain_dp(state, batch)
             params = dict(state["params"])
             opt_state = dict(state["opt"])
             losses: Dict[str, jnp.ndarray] = {}
@@ -255,8 +298,11 @@ def make_gan_train_step(cfg: GANConfig):
         if cfg.aot_cache:
             from ..utils.aot import ShapeDispatchingAOT
 
+            mesh_tag = dict(mesh.shape) if mesh is not None else None
             return ShapeDispatchingAOT(
-                run_schedule, salt=f"gan12duel:{cfg}", donate_argnums=(0,)
+                run_schedule,
+                salt=f"gan12duel:{cfg}:mesh={mesh_tag}",
+                donate_argnums=(0,),
             )
         return jax.jit(run_schedule, donate_argnums=(0,))
 

@@ -81,6 +81,7 @@ def run_epoch(
     eval_step: Optional[Callable] = None,
     rng: Optional[jax.Array] = None,
     with_visual: bool = True,
+    lr_scale: Optional[float] = None,
 ):
     """Run one epoch. With ``train_step`` set, trains (threading state through
     steps) and returns (state, EpochResult); otherwise evaluates with
@@ -100,7 +101,10 @@ def run_epoch(
     for batch, arrays in prefetch_to_device(loader, with_visual=with_visual):
         if train_step is not None:
             rng, sub = jax.random.split(rng)
-            state, loss, preds = train_step(state, sub, arrays)
+            if lr_scale is None:
+                state, loss, preds = train_step(state, sub, arrays)
+            else:
+                state, loss, preds = train_step(state, sub, arrays, lr_scale)
         else:
             loss, preds = eval_step(state, arrays)
         mask_flat = batch.umask.reshape(-1)

@@ -2,12 +2,17 @@
 train_IEMOCAP.py:508-511, 702-704).
 
 The reference logs ``test: accuracy/loss`` and ``train: accuracy/loss``
-scalars per epoch (plus per-parameter gradient histograms every batch, which
-would force a device sync per step — replaced by per-epoch scalar summaries).
+scalars per epoch plus per-parameter gradient histograms EVERY BATCH
+(train_IEMOCAP.py:166-168) — a forced device sync per step. Capability is
+matched with per-epoch granularity: ``add_param_histograms`` writes one
+histogram per parameter from a single sampled batch's gradients (see
+``train.classifier.make_grad_fn``), keeping step dispatch asynchronous.
 Uses ``torch.utils.tensorboard`` when available; silently no-ops otherwise.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 
 class TBWriter:
@@ -22,9 +27,31 @@ class TBWriter:
         except Exception:
             self._writer = None
 
+    @property
+    def enabled(self) -> bool:
+        return self._writer is not None
+
     def add_scalar(self, tag: str, value, step: int) -> None:
         if self._writer is not None:
             self._writer.add_scalar(tag, float(value), step)
+
+    def add_histogram(self, tag: str, values, step: int) -> None:
+        if self._writer is not None:
+            self._writer.add_histogram(tag, np.asarray(values).ravel(), step)
+
+    def add_param_histograms(self, tree, step: int, prefix: str = "") -> None:
+        """One histogram per leaf of a (gradient) pytree, tagged by its path
+        (dot-joined, mirroring torch's ``named_parameters`` tags)."""
+        if self._writer is None:
+            return
+        import jax
+
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for path, leaf in flat:
+            tag = prefix + ".".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+            )
+            self.add_histogram(tag, leaf, step)
 
     def close(self) -> None:
         if self._writer is not None:

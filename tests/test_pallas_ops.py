@@ -17,7 +17,11 @@ import gan_ffn_tpu.ops.attention as A
 
 
 @pytest.fixture(autouse=True)
-def interpret_pallas(monkeypatch):
+def interpret_pallas(request, monkeypatch):
+    if "tpu_hardware" in request.keywords:
+        # hardware tests run the compiled Mosaic kernel on the real chip
+        yield
+        return
     orig = pl.pallas_call
 
     def patched(*args, **kw):
@@ -26,6 +30,13 @@ def interpret_pallas(monkeypatch):
 
     monkeypatch.setattr(A.pl, "pallas_call", patched)
     yield
+
+
+def _tpu_device():
+    try:
+        return jax.devices("tpu")[0]
+    except RuntimeError:
+        return None
 
 
 def xla_attention(q, k, v, valid_len):
@@ -74,22 +85,42 @@ def test_fused_attention_grad_parity():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
 
 
-@pytest.mark.skip(
-    reason="pltpu.prng_* is not supported by the CPU interpreter; dropout "
-    "seed behavior is exercised on hardware (validated on v5e: distinct "
-    "seeds -> distinct masks, 40-seed mean within sampling error of the "
-    "deterministic output)"
-)
+@pytest.mark.tpu_hardware
 def test_fused_attention_dropout_seeds():
+    """TPU-gated: ``pltpu.prng_*`` is unsupported by the CPU interpreter, so
+    the dropout path runs on real hardware whenever a TPU is reachable
+    (skipped otherwise). Distinct seeds must give distinct masks; the same
+    seed must reproduce bitwise; the kept-element mean must track the
+    deterministic output (inverted-dropout scaling)."""
+    dev = _tpu_device()
+    if dev is None:
+        pytest.skip("no TPU device reachable; dropout kernel needs pltpu.prng_*")
     rng = np.random.default_rng(2)
     B, H, L, Dh = 1, 2, 48, 10
-    q, k, v = (
-        jnp.asarray(rng.normal(size=(B, H, L, Dh)).astype(np.float32)) for _ in range(3)
-    )
-    valid = jnp.asarray(48, jnp.int32)
-    o1 = A.fused_attention(q, k, v, valid, dropout_rate=0.5, dropout_seed=jnp.asarray(1))
-    o2 = A.fused_attention(q, k, v, valid, dropout_rate=0.5, dropout_seed=jnp.asarray(2))
-    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    with jax.default_device(dev):
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(B, H, L, Dh)).astype(np.float32))
+            for _ in range(3)
+        )
+        valid = jnp.asarray(48, jnp.int32)
+
+        def run(seed, rate=0.5):
+            return np.asarray(
+                A.fused_attention(
+                    q, k, v, valid, dropout_rate=rate, dropout_seed=jnp.asarray(seed)
+                )
+            )
+
+        o1, o1b, o2 = run(1), run(1), run(2)
+        base = np.asarray(A.fused_attention(q, k, v, valid))
+    assert not np.allclose(o1, o2), "distinct seeds must produce distinct masks"
+    np.testing.assert_array_equal(o1, o1b)  # same seed -> bitwise reproducible
+    # dropout is mean-preserving: averaging over many seeds approaches the
+    # deterministic output
+    with jax.default_device(dev):
+        mean = np.mean([run(s) for s in range(20)], axis=0)
+    err = np.abs(mean - base).mean() / (np.abs(base).mean() + 1e-9)
+    assert err < 0.35, f"20-seed mean deviates {err:.2%} from deterministic output"
 
 
 def test_fused_attention_in_transformer_module():
@@ -109,3 +140,31 @@ def test_fused_attention_in_transformer_module():
     np.testing.assert_allclose(
         np.asarray(fused)[:40], np.asarray(base)[:40], rtol=2e-4, atol=2e-5
     )
+
+
+def test_generator_grads_pallas_vs_xla():
+    """Full-module gradient A/B: TextGenerator parameter grads with the Pallas
+    fused-attention VJP (interpret mode) == the XLA attention path. Covers the
+    custom VJP inside a real 2-layer encoder backward, not just the bare op."""
+    from gan_ffn_tpu.models import TextGenerator
+    from gan_ffn_tpu.ops.config import use_pallas_attention
+
+    L, B, vl = 14, 3, 10
+    m = TextGenerator(D_h=100, num_layers=2)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    valid = jnp.asarray(vl, jnp.int32)
+
+    def make_loss(pallas_on):
+        def loss(p):
+            with use_pallas_attention(pallas_on):
+                out = m.apply({"params": p}, x, valid_len=valid, deterministic=True)
+            return (out[:vl] ** 2).sum()
+
+        return loss
+
+    g_xla = jax.grad(make_loss(False))(params)
+    g_pallas = jax.grad(make_loss(True))(params)
+    for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_pallas)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4)

@@ -94,6 +94,45 @@ def test_dp_train_step_matches_single_device(cpu_devices):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_gan_dp_step_matches_single_device(cpu_devices):
+    """The fused 12-duel stage-A step is numerically equivalent under mesh DP
+    (the stage the reference wraps in nn.DataParallel and that DEGRADED its
+    accuracy, train_IEMOCAP.py:588-593 / README.md:83)."""
+    from gan_ffn_tpu.train.gan import GANConfig, init_gan_state, make_gan_train_step
+
+    cfg = GANConfig(num_layers=1, aot_cache=False)
+    mesh = make_mesh(cpu_devices)
+    rng = np.random.default_rng(5)
+    gl, gb = 8, 8  # batch divisible by the 8 devices
+    batch = {
+        "text": jnp.asarray(rng.normal(size=(gl, gb, 100)).astype(np.float32)),
+        "visual": jnp.asarray(rng.normal(size=(gl, gb, 512)).astype(np.float32)),
+        "audio": jnp.asarray(rng.normal(size=(gl, gb, 100)).astype(np.float32)),
+        "valid_len": jnp.asarray(gl, dtype=jnp.int32),
+        "n_real": jnp.asarray(gb, dtype=jnp.int32),
+    }
+    state = init_gan_state(cfg, jax.random.PRNGKey(0))
+    state_copy = jax.tree.map(lambda x: jnp.array(np.asarray(x)), state)
+    key = jax.random.PRNGKey(11)
+
+    step_single = make_gan_train_step(cfg)
+    state1, losses1 = step_single(state, batch, key)
+
+    step_dp = make_gan_train_step(cfg, mesh=mesh)
+    state2, losses2 = step_dp(
+        replicate(state_copy, mesh), shard_batch(batch, mesh), key
+    )
+
+    from gan_ffn_tpu.train.gan import LOGGED_LOSS_KEYS
+
+    for k in LOGGED_LOSS_KEYS:
+        assert float(losses2[k]) == pytest.approx(float(losses1[k]), rel=1e-5), k
+    for a, b in zip(
+        jax.tree.leaves(state1["params"]), jax.tree.leaves(state2["params"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_multi_seed_sweep(cpu_devices):
     """8 seeds train in one vmapped step; different seeds diverge."""
     mesh = make_seed_mesh(cpu_devices)

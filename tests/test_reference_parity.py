@@ -19,7 +19,14 @@ import torch  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from torch_mapping import encoder_params, gru_cell_params, linear_params  # noqa: E402
+from torch_mapping import (  # noqa: E402
+    assert_tree_allclose,
+    encoder_params,
+    gru_cell_params,
+    linear_params,
+    t2grad,
+    t2n,
+)
 
 refmodel = None
 
@@ -40,27 +47,27 @@ def setup_module(module):
 L, B = 14, 3
 
 
-def _generator_params(ref_gen):
+def _generator_params(ref_gen, get=t2n):
     return {
         "net": {
-            "transformer_encoder": encoder_params(ref_gen.transformer_encoder),
-            "fc1": linear_params(ref_gen.fc1),
-            "fc2": linear_params(ref_gen.fc2),
+            "transformer_encoder": encoder_params(ref_gen.transformer_encoder, get),
+            "fc1": linear_params(ref_gen.fc1, get),
+            "fc2": linear_params(ref_gen.fc2, get),
         }
     }
 
 
-def _discriminator_params(ref_disc, with_object=False):
+def _discriminator_params(ref_disc, with_object=False, get=t2n):
     p = {
         "net": {
-            "transformer_encoder": encoder_params(ref_disc.transformer_encoder),
-            "fc1": linear_params(ref_disc.fc1),
-            "fc2": linear_params(ref_disc.fc2),
-            "fc3": linear_params(ref_disc.fc3),
+            "transformer_encoder": encoder_params(ref_disc.transformer_encoder, get),
+            "fc1": linear_params(ref_disc.fc1, get),
+            "fc2": linear_params(ref_disc.fc2, get),
+            "fc3": linear_params(ref_disc.fc3, get),
         }
     }
     if with_object:
-        p["object"] = linear_params(ref_disc.object)
+        p["object"] = linear_params(ref_disc.object, get)
     return p
 
 
@@ -154,19 +161,19 @@ def test_gan_ffn_full_parity():
     np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=2e-3, atol=5e-4)
 
 
-def _dialogue_rnn_params(ref_rnn, context_attention):
+def _dialogue_rnn_params(ref_rnn, context_attention, get=t2n):
     cell = ref_rnn.dialogue_cell
     p = {
-        "g_cell": gru_cell_params(cell.g_cell),
-        "p_cell": gru_cell_params(cell.p_cell),
-        "e_cell": gru_cell_params(cell.e_cell),
+        "g_cell": gru_cell_params(cell.g_cell, get),
+        "p_cell": gru_cell_params(cell.p_cell, get),
+        "e_cell": gru_cell_params(cell.e_cell, get),
     }
     if context_attention == "simple":
-        p["attention"] = {"scalar": linear_params(cell.attention.scalar)}
+        p["attention"] = {"scalar": linear_params(cell.attention.scalar, get)}
     else:
-        p["attention"] = {"transform": linear_params(cell.attention.transform)}
+        p["attention"] = {"transform": linear_params(cell.attention.transform, get)}
     if ref_rnn.dialogue_cell.listener_state:
-        p["l_cell"] = gru_cell_params(cell.l_cell)
+        p["l_cell"] = gru_cell_params(cell.l_cell, get)
     return {"dialogue_cell": p}
 
 
@@ -566,3 +573,222 @@ def test_emoformer_attention_path_is_unrunnable():
     um = torch.ones(2, 6)
     with torch.no_grad(), pytest.raises(RuntimeError):
         ref(t, a, v, None, um)
+
+
+# ---------------------------------------------------------------------------
+# Gradient parity: transplanted TRAINING steps vs torch autograd.
+#
+# The round-1 transplant tests above pin the forward pass only; these pin the
+# backward pass of each step kind (train_disc / train_gen / classifier /
+# BiModel), so a subtle VJP bug in the scan, attention, or loss plumbing
+# cannot hide behind a correct forward. Modules run deterministically (torch
+# .eval() forward + our deterministic=True) so autograd is compared exactly;
+# dropout's backward is a mask multiply and is covered separately
+# (test_pallas_ops).
+# ---------------------------------------------------------------------------
+
+GRAD_RTOL, GRAD_ATOL = 2e-3, 1e-4
+
+
+def test_train_disc_gradient_parity():
+    """Discriminator grads of one train_disc step (train_IEMOCAP.py:200-227)
+    match torch autograd: BCE(real,1) + BCE(G(other).detach(), 0) halved,
+    generator detached."""
+    import gan_ffn_tpu.models as M
+    from gan_ffn_tpu.nn.losses import bce_loss
+
+    disc_ref = refmodel.AcousticDiscriminator(D_h=100, dropout=0.2).eval()
+    gen_ref = refmodel.TextGenerator(D_h=100, dropout=0.2).eval()
+    rng = np.random.default_rng(30)
+    real_d = rng.normal(size=(L, B, 100)).astype(np.float32)
+    real_g = rng.normal(size=(L, B, 100)).astype(np.float32)
+
+    bce = torch.nn.BCELoss()
+    real_prob = disc_ref(torch.from_numpy(real_d))
+    fusion = gen_ref(torch.from_numpy(real_g))
+    fake_prob = disc_ref(fusion.detach())
+    d_loss = (
+        bce(real_prob, torch.ones(L, B, 1)) + bce(fake_prob, torch.zeros(L, B, 1))
+    ) / 2.0
+    d_loss.backward()
+    want = _discriminator_params(disc_ref, get=t2grad)
+
+    disc_ours = M.AcousticDiscriminator(D_h=100)
+    gen_ours = M.TextGenerator(D_h=100)
+    gen_params = _generator_params(gen_ref)
+
+    def loss_fn(dp):
+        rp = disc_ours.apply({"params": dp}, jnp.asarray(real_d), deterministic=True)
+        fus = gen_ours.apply(
+            {"params": gen_params}, jnp.asarray(real_g), deterministic=True
+        )
+        fp = disc_ours.apply(
+            {"params": dp}, jax.lax.stop_gradient(fus), deterministic=True
+        )
+        return (
+            bce_loss(rp, jnp.ones_like(rp)) + bce_loss(fp, jnp.zeros_like(fp))
+        ) / 2.0
+
+    loss, grads = jax.value_and_grad(loss_fn)(_discriminator_params(disc_ref))
+    assert float(loss) == pytest.approx(float(d_loss.detach()), rel=1e-4)
+    assert_tree_allclose(grads, want, rtol=GRAD_RTOL, atol=GRAD_ATOL)
+
+
+def test_train_gen_gradient_parity():
+    """Generator grads of one train_gen step (train_IEMOCAP.py:230-252) match
+    torch autograd: BCE(D(G(real)), 1) with the discriminator frozen — the
+    backward flows THROUGH the 8-layer discriminator into the generator."""
+    import gan_ffn_tpu.models as M
+    from gan_ffn_tpu.nn.losses import bce_loss
+
+    gen_ref = refmodel.AcousticGenerator(D_h=100, dropout=0.2).eval()
+    disc_ref = refmodel.TextDiscriminator(D_h=100, dropout=0.2).eval()
+    rng = np.random.default_rng(31)
+    real_g = rng.normal(size=(L, B, 100)).astype(np.float32)
+
+    bce = torch.nn.BCELoss()
+    prob = disc_ref(gen_ref(torch.from_numpy(real_g)))
+    g_loss = bce(prob, torch.ones(L, B, 1))
+    g_loss.backward()
+    want = _generator_params(gen_ref, get=t2grad)
+
+    gen_ours = M.AcousticGenerator(D_h=100)
+    disc_ours = M.TextDiscriminator(D_h=100)
+    d_params = _discriminator_params(disc_ref)
+
+    def loss_fn(gp):
+        fus = gen_ours.apply({"params": gp}, jnp.asarray(real_g), deterministic=True)
+        p = disc_ours.apply({"params": d_params}, fus, deterministic=True)
+        return bce_loss(p, jnp.ones_like(p))
+
+    loss, grads = jax.value_and_grad(loss_fn)(_generator_params(gen_ref))
+    assert float(loss) == pytest.approx(float(g_loss.detach()), rel=1e-4)
+    assert_tree_allclose(grads, want, rtol=GRAD_RTOL, atol=GRAD_ATOL)
+
+
+def test_classifier_step_gradient_parity():
+    """GAN_FFN classifier grads (stage B, train_IEMOCAP.py:151-165) match
+    torch autograd through all three generators + fusion head, with the
+    weighted MaskedNLLLoss and a variable-length mask."""
+    import gan_ffn_tpu.models as M
+    from gan_ffn_tpu.cli.common import IEMOCAP_LOSS_WEIGHTS
+    from gan_ffn_tpu.nn.losses import masked_nll_loss
+
+    a_g = refmodel.AcousticGenerator(100, 0.2)
+    v_g = refmodel.VisualGenerator(100, 0.2)
+    t_g = refmodel.TextGenerator(100, 0.2)
+    ref = refmodel.GAN_FFN(a_g, v_g, t_g, n_classes=6, dropout=0.6).eval()
+
+    rng = np.random.default_rng(32)
+    a = rng.normal(size=(L, B, 100)).astype(np.float32)
+    v = rng.normal(size=(L, B, 512)).astype(np.float32)
+    t = rng.normal(size=(L, B, 100)).astype(np.float32)
+    label = rng.integers(0, 6, size=(B, L))
+    umask = np.zeros((B, L), dtype=np.float32)
+    for b, n in enumerate([L, L - 3, 6]):
+        umask[b, :n] = 1.0
+
+    weights = torch.tensor(IEMOCAP_LOSS_WEIGHTS)
+    loss_function = refmodel.MaskedNLLLoss(weights)
+    log_prob, *_ = ref(torch.from_numpy(a), torch.from_numpy(v), torch.from_numpy(t))
+    lp_ = log_prob.transpose(0, 1).contiguous().view(-1, 6)
+    loss_t = loss_function(
+        lp_, torch.from_numpy(label).view(-1), torch.from_numpy(umask)
+    )
+    loss_t.backward()
+    want = {
+        "acoustic_generator": _generator_params(a_g, get=t2grad),
+        "visual_generator": _generator_params(v_g, get=t2grad),
+        "text_generator": _generator_params(t_g, get=t2grad),
+        "fc": linear_params(ref.fc, get=t2grad),
+    }
+
+    ours = M.GAN_FFN(n_classes=6)
+    params = {
+        "acoustic_generator": _generator_params(a_g),
+        "visual_generator": _generator_params(v_g),
+        "text_generator": _generator_params(t_g),
+        "fc": linear_params(ref.fc),
+    }
+
+    def loss_fn(p):
+        lp, *_ = ours.apply(
+            {"params": p}, jnp.asarray(a), jnp.asarray(v), jnp.asarray(t),
+            deterministic=True,
+        )
+        flat = lp.transpose(1, 0, 2).reshape(-1, 6)
+        return masked_nll_loss(
+            flat, jnp.asarray(label).reshape(-1), jnp.asarray(umask),
+            jnp.asarray(IEMOCAP_LOSS_WEIGHTS),
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert float(loss) == pytest.approx(float(loss_t.detach()), rel=1e-4)
+    assert_tree_allclose(grads, want, rtol=GRAD_RTOL, atol=GRAD_ATOL)
+
+
+def test_bimodel_gradient_parity():
+    """BiModel (DialogueRNN fwd + rev scans + att2) grads match torch
+    autograd under a variable-length masked NLL — the definitive check that
+    the lax.scan history-attention backward is the same function as the
+    reference's Python-loop backward (the round-1 open question about the
+    DialogueRNN entry 'barely learning')."""
+    import gan_ffn_tpu.models as M
+
+    D_m, D_g, D_p, D_e, D_h, C = 12, 10, 8, 6, 7, 6
+    ref = refmodel.BiModel(
+        D_m, D_g, D_p, D_e, D_h, n_classes=C,
+        context_attention="general", dropout_rec=0.1, dropout=0.5,
+    ).eval()
+    ours = M.BiModel(
+        D_m, D_g, D_p, D_e, D_h, n_classes=C,
+        context_attention="general", dropout_rec=0.1, dropout=0.5,
+        deterministic=True,
+    )
+    params = {
+        "dialog_rnn_f": _dialogue_rnn_params(ref.dialog_rnn_f, "general"),
+        "dialog_rnn_r": _dialogue_rnn_params(ref.dialog_rnn_r, "general"),
+        "linear": linear_params(ref.linear),
+        "smax_fc": linear_params(ref.smax_fc),
+        "matchatt": {"transform": linear_params(ref.matchatt.transform)},
+    }
+    rng = np.random.default_rng(33)
+    U = rng.normal(size=(L, B, D_m)).astype(np.float32)
+    qmask = np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=(L, B))]
+    lengths = [L, L - 4, 5]
+    umask = np.zeros((B, L), dtype=np.float32)
+    label = rng.integers(0, C, size=(B, L))
+    for b, n in enumerate(lengths):
+        umask[b, :n] = 1.0
+        U[n:, b] = 0.0
+        qmask[n:, b] = 0.0
+
+    loss_function = refmodel.MaskedNLLLoss()
+    log_prob, *_ = ref(
+        torch.from_numpy(U), torch.from_numpy(qmask), torch.from_numpy(umask)
+    )
+    lp_ = log_prob.transpose(0, 1).contiguous().view(-1, C)
+    loss_t = loss_function(
+        lp_, torch.from_numpy(label).view(-1), torch.from_numpy(umask)
+    )
+    loss_t.backward()
+    want = {
+        "dialog_rnn_f": _dialogue_rnn_params(ref.dialog_rnn_f, "general", get=t2grad),
+        "dialog_rnn_r": _dialogue_rnn_params(ref.dialog_rnn_r, "general", get=t2grad),
+        "linear": linear_params(ref.linear, get=t2grad),
+        "smax_fc": linear_params(ref.smax_fc, get=t2grad),
+        "matchatt": {"transform": linear_params(ref.matchatt.transform, get=t2grad)},
+    }
+
+    from gan_ffn_tpu.nn.losses import masked_nll_loss
+
+    def loss_fn(p):
+        lp, *_ = ours.apply(
+            {"params": p}, jnp.asarray(U), jnp.asarray(qmask), jnp.asarray(umask)
+        )
+        flat = lp.transpose(1, 0, 2).reshape(-1, C)
+        return masked_nll_loss(flat, jnp.asarray(label).reshape(-1), jnp.asarray(umask))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert float(loss) == pytest.approx(float(loss_t.detach()), rel=1e-4)
+    assert_tree_allclose(grads, want, rtol=GRAD_RTOL, atol=GRAD_ATOL)

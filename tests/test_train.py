@@ -151,6 +151,39 @@ def test_graft_and_classifier_step():
     assert np.isfinite(float(loss_e))
 
 
+def test_lr_schedule_decay_scales_updates():
+    """train_step's lr_scale multiplies the applied update exactly (the
+    --lr-schedule decay path); default 1.0 reproduces the reference's
+    constant-lr quirk."""
+    model = GAN_FFN(n_classes=6, gen_num_layers=1)
+    batch = _gan_batch()
+    batch["label"] = jnp.asarray(np.random.default_rng(2).integers(0, 6, size=(B, L)))
+    batch["umask"] = jnp.asarray(np.ones((B, L), dtype=np.float32))
+    params = model.init(
+        jax.random.PRNGKey(3), batch["audio"], batch["visual"], batch["text"]
+    )["params"]
+    train_step, _, opt = _make_gan_ffn_steps(model)
+
+    def copy(t):
+        return jax.tree.map(lambda x: jnp.array(np.asarray(x)), t)
+
+    p0 = copy(params)
+    rng = jax.random.PRNGKey(4)
+    s_full, _, _ = train_step(init_classifier_state(copy(params), opt), rng, batch)
+    s_default, _, _ = train_step(init_classifier_state(copy(params), opt), rng, batch, 1.0)
+    s_half, _, _ = train_step(init_classifier_state(copy(params), opt), rng, batch, 0.5)
+
+    for a, b in zip(jax.tree.leaves(s_full["params"]), jax.tree.leaves(s_default["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # delta at scale 0.5 == 0.5 * delta at scale 1.0, leafwise
+    for base, full, half in zip(
+        jax.tree.leaves(p0), jax.tree.leaves(s_full["params"]), jax.tree.leaves(s_half["params"])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(half - base), 0.5 * np.asarray(full - base), rtol=2e-4, atol=1e-8
+        )
+
+
 def test_mini_end_to_end_iemocap_slice(iemocap_pickle):
     """GAN pre-train (1 epoch) -> graft -> classifier train (2 epochs) -> eval.
 

@@ -75,3 +75,34 @@ def test_report_file_name_and_content(tmp_path):
     # formatted report round-trips through sklearn's formatting (already
     # byte-checked in test_metrics) and embeds loss + f1
     assert format_test_report(1.025, labels, preds, masks) == text
+
+
+def test_tensorboard_gradient_histograms(tmp_path):
+    """TBWriter emits per-parameter histograms readable from the event file
+    (capability match for the reference's per-batch grad histograms,
+    train_IEMOCAP.py:166-168, at per-epoch granularity)."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from tensorboard.backend.event_processing import event_accumulator
+
+    from gan_ffn_tpu.utils.tensorboard import TBWriter
+
+    logdir = str(tmp_path / "tb")
+    writer = TBWriter(logdir, enabled=True)
+    assert writer.enabled
+    tree = {
+        "fc": {"kernel": np.random.default_rng(0).normal(size=(4, 3)), "bias": np.zeros(3)},
+        "encoder": {"layers_0": {"scale": np.ones(5)}},
+    }
+    writer.add_param_histograms(tree, step=0)
+    writer.add_param_histograms(tree, step=1)
+    writer.add_scalar("test: accuracy/loss", 1.5, 0)
+    writer.close()
+
+    acc = event_accumulator.EventAccumulator(
+        logdir, size_guidance={event_accumulator.HISTOGRAMS: 0}  # 0 = keep all
+    )
+    acc.Reload()
+    tags = set(acc.Tags()["histograms"])
+    assert tags == {"fc.kernel", "fc.bias", "encoder.layers_0.scale"}
+    assert len(acc.Histograms("fc.kernel")) == 2
+    assert "test: accuracy/loss" in acc.Tags()["scalars"]
