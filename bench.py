@@ -1,21 +1,37 @@
-"""Throughput benchmark: utterances/sec/chip on the flagship GAN_FFN train step.
+"""Throughput benchmark: utterances/sec/chip on the framework's hot paths.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "utterances/sec/chip", "vs_baseline": N}
 
-Measures the full classifier training step (3x 8-layer transformer encoders
-forward + backward + torch-Adam update, masked NLL) at the reference's
-flagship shape: batch 32 dialogues, bucket length 112, realistic dialogue
-lengths (the metric counts only REAL utterances, i.e. sum(umask)).
+Three modes, all at the reference's own shapes, all counting only REAL
+utterances (sum(umask) with realistic dialogue lengths 20-110):
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md), so
-``REFERENCE_V100_UPS`` is an estimate of the reference's stage-B rate on its
-1x V100-32GB: eager PyTorch, batch 32, three 8-layer d<=512 encoders with
-fp32 and per-batch host syncs — bounded by kernel-launch overhead at these
-small hidden sizes. We estimate 1000 utterances/sec (an epoch of ~3860
-training utterances in ~4s would be fast for this eager pipeline).
+- default            — flagship GAN_FFN classifier train step (3x 8-layer
+                       encoders fwd+bwd + masked NLL + torch-Adam), batch 32.
+- --stage-a          — the fused 12-duel adversarial step (train/gan.py):
+                       12 sequential loss/grad/Adam updates over the six
+                       8-layer GAN nets in ONE program, batch 32. Value is
+                       utterances/sec THROUGH THE FULL SCHEDULE (each
+                       utterance is processed by all 12 duels per step).
+- --dialoguernn      — GAN_FFN_DialogueRNN train step (3 generators + BiModel
+                       bidirectional lax.scan + att2), batch 30
+                       (train_IEMOCAP_DialogueRNN.py:635-641).
+
+Baselines: the reference publishes no throughput numbers (BASELINE.md), so
+each mode carries an estimate of the reference's V100 rate, anchored by
+measurements of the reference's OWN torch code on this host's CPU (PERF.md):
+
+- stage B eager GAN_FFN measured 147 utt/s on host CPU; V100 estimate 1000.
+- stage A runs 12 eager duels/batch with a host sync after each duel
+  (train_IEMOCAP.py:224,249); per-duel cost is comparable to a stage-B step
+  of one net (~1/3 the three-encoder flagship), so the schedule-level rate is
+  estimated at 1000 * 3 / 12 / 2 = 125 utt/s... conservatively rounded UP to
+  250 utt/s to avoid flattering vs_baseline.
+- DialogueRNN adds Python per-timestep loops over ~110 steps (three of them:
+  fwd scan, rev scan, att2) on top of the three encoders; its V100 rate is
+  estimated at 300 utt/s (the loops dominate; README gives no numbers).
+
 vs_baseline = measured / estimate; the north-star target is >= 10x.
-Measured on v5e: 137.0k utt/s/chip bf16 (vs_baseline 137).
 
 Compute dtype: bfloat16 on the MXU with float32 parameters/softmax/loss — the
 TPU-native configuration. Pass --fp32 to measure in float32.
@@ -27,39 +43,15 @@ import time
 
 import numpy as np
 
-
 REFERENCE_V100_UPS = 1000.0
+REFERENCE_V100_STAGE_A_UPS = 250.0
+REFERENCE_V100_DIALOGUERNN_UPS = 300.0
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--fp32", action="store_true", default=False)
-    parser.add_argument("--steps", type=int, default=20)
-    parser.add_argument("--warmup", type=int, default=3)
-    parser.add_argument("--batch-size", type=int, default=32)
-    parser.add_argument("--bucket-len", type=int, default=112)
-    args = parser.parse_args()
-
-    import jax
-
-    from gan_ffn_tpu.utils.runtime import configure_tpu_runtime, wait_for_device
-
-    configure_tpu_runtime()
-    wait_for_device()  # hosted TPU plugin registration can fail transiently
+def realistic_batch(rng, L, B, with_qmask=False):
     import jax.numpy as jnp
 
-    from gan_ffn_tpu.cli.common import IEMOCAP_LOSS_WEIGHTS, make_gan_ffn_apply_fns
-    from gan_ffn_tpu.models import GAN_FFN
-    from gan_ffn_tpu.train.classifier import init_classifier_state, make_classifier_steps
-    from gan_ffn_tpu.train.optim import torch_adam
-
-    L, B = args.bucket_len, args.batch_size
-    dtype = None if args.fp32 else jnp.bfloat16
-    model = GAN_FFN(n_classes=6, gen_num_layers=8, dtype=dtype)
-
-    rng = np.random.default_rng(0)
-    # realistic dialogue lengths: uniform 20..110 (IEMOCAP dialogues cap ~110)
-    lengths = rng.integers(20, 111, size=B)
+    lengths = rng.integers(20, min(111, L + 1), size=B)
     umask = np.zeros((B, L), dtype=np.float32)
     for b, n in enumerate(lengths):
         umask[b, :n] = 1.0
@@ -72,6 +64,43 @@ def main():
         "valid_len": jnp.asarray(int(lengths.max()), dtype=jnp.int32),
         "n_real": jnp.asarray(B, dtype=jnp.int32),
     }
+    if with_qmask:
+        qmask = np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=(L, B))]
+        for b, n in enumerate(lengths):
+            qmask[n:, b] = 0.0
+        batch["qmask"] = jnp.asarray(qmask)
+    return batch, umask
+
+
+def timed_loop(step_once, loss_ref, steps, reps=3):
+    """Best-of-reps wall time for `steps` dispatches (tunnel-noise robust)."""
+    import jax
+
+    best_dt = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(steps):
+            out = step_once()
+        jax.block_until_ready(loss_ref(out))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return best_dt
+
+
+def bench_classifier(args):
+    import jax
+    import jax.numpy as jnp
+
+    from gan_ffn_tpu.cli.common import IEMOCAP_LOSS_WEIGHTS, make_gan_ffn_apply_fns
+    from gan_ffn_tpu.models import GAN_FFN
+    from gan_ffn_tpu.train.classifier import init_classifier_state, make_classifier_steps
+    from gan_ffn_tpu.train.optim import torch_adam
+
+    L, B = args.bucket_len, args.batch_size
+    dtype = None if args.fp32 else jnp.bfloat16
+    model = GAN_FFN(n_classes=6, gen_num_layers=8, dtype=dtype)
+    rng = np.random.default_rng(0)
+    batch, umask = realistic_batch(rng, L, B)
     params = model.init(
         jax.random.PRNGKey(0), batch["audio"], batch["visual"], batch["text"]
     )["params"]
@@ -84,34 +113,169 @@ def main():
     state = init_classifier_state(params, opt)
 
     key = jax.random.PRNGKey(1)
+    holder = {"state": state, "key": key}
+
+    def step_once():
+        holder["key"], sub = jax.random.split(holder["key"])
+        holder["state"], loss, preds = train_step(holder["state"], sub, batch)
+        return loss
+
     for _ in range(args.warmup):
-        key, sub = jax.random.split(key)
-        state, loss, preds = train_step(state, sub, batch)
+        loss = step_once()
     jax.block_until_ready(loss)
+    best_dt = timed_loop(step_once, lambda loss: loss, args.steps)
 
-    # best of 3 repetitions — the hosted chip is reached over a tunnel and a
-    # single rep can catch scheduling noise
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            key, sub = jax.random.split(key)
-            state, loss, preds = train_step(state, sub, batch)
-        jax.block_until_ready(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    ups = float(umask.sum()) * args.steps / best_dt
+    return {
+        "metric": "utterances/sec/chip (GAN_FFN train step, IEMOCAP flagship)",
+        "value": round(ups, 1),
+        "unit": "utterances/sec/chip",
+        "vs_baseline": round(ups / REFERENCE_V100_UPS, 2),
+    }
 
-    utterances = float(umask.sum()) * args.steps
-    ups = utterances / best_dt
-    print(
-        json.dumps(
-            {
-                "metric": "utterances/sec/chip (GAN_FFN train step, IEMOCAP flagship)",
-                "value": round(ups, 1),
-                "unit": "utterances/sec/chip",
-                "vs_baseline": round(ups / REFERENCE_V100_UPS, 2),
-            }
-        )
+
+def bench_stage_a(args):
+    import jax
+    import jax.numpy as jnp
+
+    from gan_ffn_tpu.train.gan import GANConfig, init_gan_state, make_gan_train_step
+
+    L, B = args.bucket_len, args.batch_size
+    dtype = None if args.fp32 else jnp.bfloat16
+    cfg = GANConfig(num_layers=8, dtype=dtype)
+    rng = np.random.default_rng(0)
+    batch, umask = realistic_batch(rng, L, B)
+    gan_batch = {
+        k: batch[k] for k in ("text", "visual", "audio", "valid_len", "n_real")
+    }
+    state = init_gan_state(cfg, jax.random.PRNGKey(0))
+    step = make_gan_train_step(cfg)
+    key = jax.random.PRNGKey(1)
+    holder = {"state": state, "key": key}
+
+    def step_once():
+        holder["key"], sub = jax.random.split(holder["key"])
+        holder["state"], losses = step(holder["state"], gan_batch, sub)
+        return losses
+
+    for _ in range(args.warmup):
+        losses = step_once()
+    jax.block_until_ready(losses["duel_11"])
+    best_dt = timed_loop(step_once, lambda l: l["duel_11"], args.steps)
+
+    ups = float(umask.sum()) * args.steps / best_dt
+    return {
+        "metric": "utterances/sec/chip (fused 12-duel stage-A GAN step)",
+        "value": round(ups, 1),
+        "unit": "utterances/sec/chip",
+        "vs_baseline": round(ups / REFERENCE_V100_STAGE_A_UPS, 2),
+    }
+
+
+def bench_dialoguernn(args):
+    import jax
+    import jax.numpy as jnp
+
+    from gan_ffn_tpu.cli.common import IEMOCAP_LOSS_WEIGHTS
+    from gan_ffn_tpu.models import GAN_FFN_DialogueRNN
+    from gan_ffn_tpu.train.classifier import init_classifier_state, make_classifier_steps
+    from gan_ffn_tpu.train.optim import torch_adam
+
+    L = args.bucket_len
+    B = 30 if args.batch_size == 32 else args.batch_size  # reference batch 30
+    dtype = None if args.fp32 else jnp.bfloat16
+    kwargs = dict(
+        D_m=100, D_g=500, D_p=500, D_e=100, D_h=100, D_a=100, n_classes=6,
+        context_attention="general", dropout_rec=0.1, dropout=0.6,
+        gen_num_layers=8, dtype=dtype,
     )
+    model_train = GAN_FFN_DialogueRNN(**kwargs, deterministic=False)
+    model_eval = GAN_FFN_DialogueRNN(**kwargs, deterministic=True)
+    rng = np.random.default_rng(0)
+    batch, umask = realistic_batch(rng, L, B, with_qmask=True)
+    params = model_eval.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["visual"], batch["text"],
+        batch["qmask"], batch["umask"],
+    )["params"]
+
+    def apply_train(p, rng_, b):
+        return model_train.apply(
+            {"params": p}, b["audio"], b["visual"], b["text"], b["qmask"],
+            b["umask"], valid_len=b["valid_len"], rngs={"dropout": rng_},
+        )[0]
+
+    def apply_eval(p, b):
+        return model_eval.apply(
+            {"params": p}, b["audio"], b["visual"], b["text"], b["qmask"],
+            b["umask"], valid_len=b["valid_len"],
+        )[0]
+
+    opt = torch_adam(1e-4, weight_decay=1e-5)
+    train_step, _ = make_classifier_steps(
+        apply_train, apply_eval, opt, 6, jnp.asarray(IEMOCAP_LOSS_WEIGHTS)
+    )
+    state = init_classifier_state(params, opt)
+    key = jax.random.PRNGKey(1)
+    holder = {"state": state, "key": key}
+
+    def step_once():
+        holder["key"], sub = jax.random.split(holder["key"])
+        holder["state"], loss, preds = train_step(holder["state"], sub, batch)
+        return loss
+
+    for _ in range(args.warmup):
+        loss = step_once()
+    jax.block_until_ready(loss)
+    best_dt = timed_loop(step_once, lambda loss: loss, args.steps)
+
+    ups = float(umask.sum()) * args.steps / best_dt
+    return {
+        "metric": "utterances/sec/chip (GAN_FFN_DialogueRNN train step)",
+        "value": round(ups, 1),
+        "unit": "utterances/sec/chip",
+        "vs_baseline": round(ups / REFERENCE_V100_DIALOGUERNN_UPS, 2),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fp32", action="store_true", default=False)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--bucket-len", type=int, default=112)
+    mode = parser.add_mutually_exclusive_group()
+    mode.add_argument("--stage-a", action="store_true", default=False,
+                      help="bench the fused 12-duel adversarial step")
+    mode.add_argument("--dialoguernn", action="store_true", default=False,
+                      help="bench the GAN_FFN_DialogueRNN train step")
+    parser.add_argument("--no-pallas-attention", action="store_true", default=False,
+                        help="A/B: force the XLA attention path")
+    parser.add_argument("--no-pallas-mlp", action="store_true", default=False,
+                        help="A/B: force the XLA MLP path")
+    args = parser.parse_args()
+
+    from gan_ffn_tpu.utils.runtime import configure_tpu_runtime, wait_for_device
+
+    configure_tpu_runtime()
+    wait_for_device()  # hosted TPU plugin registration can fail transiently
+
+    import contextlib
+
+    from gan_ffn_tpu.ops.config import use_pallas_attention, use_pallas_mlp
+
+    with contextlib.ExitStack() as stack:
+        if args.no_pallas_attention:
+            stack.enter_context(use_pallas_attention(False))
+        if args.no_pallas_mlp:
+            stack.enter_context(use_pallas_mlp(False))
+        if args.stage_a:
+            result = bench_stage_a(args)
+        elif args.dialoguernn:
+            result = bench_dialoguernn(args)
+        else:
+            result = bench_classifier(args)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.core import TorchLinear, gelu
@@ -58,12 +59,46 @@ class _TransformerGenerator(nn.Module):
             dtype=self.dtype,
             name="transformer_encoder",
         )(x, valid_len=valid_len, deterministic=deterministic)
+        from ..ops.config import pallas_mlp_enabled
+
+        fc1 = TorchLinear(self.d_hidden, name="fc1", dtype=self.dtype)
+        fc2 = TorchLinear(self.d_out, name="fc2", dtype=self.dtype)
+        from ..ops.mlp import fused_mlp_supported
+
+        if pallas_mlp_enabled() and fused_mlp_supported(
+            self.d_model, self.d_hidden, self.d_out, x.dtype
+        ):
+            # the whole head — gelu -> dropout -> fc1 -> dropout -> gelu ->
+            # fc2 -> dropout -> gelu — as ONE VMEM kernel (ops/mlp.py; the
+            # reference chain is model.py:1227-1230)
+            import jax
+
+            from ..ops.mlp import fused_mlp
+
+            k1, b1 = fc1(x, return_params=True)
+            k2, b2 = fc2(
+                jnp.zeros((1, self.d_hidden), x.dtype), return_params=True
+            )
+            rate = 0.0 if deterministic else self.dropout
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            dtype = x.dtype
+            return fused_mlp(
+                x,
+                k1.astype(dtype), b1.astype(dtype),
+                k2.astype(dtype), b2.astype(dtype),
+                pre=("gelu", rate),
+                mid=("gelu", "drop_first", rate),
+                post=("gelu", "drop_first", rate),
+                dropout_seed=seed,
+            )
         x = gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = TorchLinear(self.d_hidden, name="fc1", dtype=self.dtype)(x)
-        x = gelu(nn.Dropout(self.dropout)(x, deterministic=deterministic))
-        x = TorchLinear(self.d_out, name="fc2", dtype=self.dtype)(x)
-        x = gelu(nn.Dropout(self.dropout)(x, deterministic=deterministic))
+        x = gelu(nn.Dropout(self.dropout)(fc1(x), deterministic=deterministic))
+        x = gelu(nn.Dropout(self.dropout)(fc2(x), deterministic=deterministic))
         return x
 
 

@@ -77,15 +77,24 @@ class TorchLinear(nn.Module):
     bias_init: Optional[Callable] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
+        """Apply the layer; with ``return_params`` create the (identical)
+        params but return ``(kernel, bias)`` instead of computing — used by
+        fused Pallas paths that consume the raw weights (ops/mlp.py). ``x``
+        then only supplies ``in_features`` via its trailing dim."""
         in_features = x.shape[-1]
         kernel_init = self.kernel_init or torch_linear_kernel_init
         kernel = self.param("kernel", kernel_init, (in_features, self.features))
         dtype = self.dtype or x.dtype
-        y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
         if self.use_bias:
             bias_init = self.bias_init or torch_linear_bias_init(in_features)
             bias = self.param("bias", bias_init, (self.features,))
+        else:
+            bias = None
+        if return_params:
+            return kernel, bias
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
+        if bias is not None:
             y = y + bias.astype(dtype)
         return y
 

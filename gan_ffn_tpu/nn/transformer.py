@@ -119,10 +119,40 @@ class TransformerEncoderLayer(nn.Module):
         x = x + nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
         x = LayerNorm(name="norm1", dtype=dtype)(x)
 
-        h = TorchLinear(self.dim_feedforward, dtype=dtype, name="linear1")(x)
-        h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = TorchLinear(self.d_model, dtype=dtype, name="linear2")(h)
+        from ..ops.config import pallas_mlp_enabled
+
+        lin1 = TorchLinear(self.dim_feedforward, dtype=dtype, name="linear1")
+        lin2 = TorchLinear(self.d_model, dtype=dtype, name="linear2")
+        from ..ops.mlp import fused_mlp_supported
+
+        if pallas_mlp_enabled() and fused_mlp_supported(
+            self.d_model, self.dim_feedforward, self.d_model, dtype
+        ):
+            # one VMEM kernel for linear1 -> relu -> dropout -> linear2: the
+            # (M, d_ff) intermediate never round-trips HBM (ops/mlp.py)
+            from ..ops.mlp import fused_mlp
+
+            k1, b1 = lin1(x, return_params=True)
+            k2, b2 = lin2(
+                jnp.zeros((1, self.dim_feedforward), dtype), return_params=True
+            )
+            rate = 0.0 if deterministic else self.dropout
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            h = fused_mlp(
+                x.astype(dtype),
+                k1.astype(dtype), b1.astype(dtype),
+                k2.astype(dtype), b2.astype(dtype),
+                mid=("relu", "act_first", rate), dropout_seed=seed,
+            )
+        else:
+            h = lin1(x)
+            h = nn.relu(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = lin2(h)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = LayerNorm(name="norm2", dtype=dtype)(x)
         return x

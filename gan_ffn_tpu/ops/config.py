@@ -2,11 +2,17 @@
 
 Every kernel has an XLA fallback; the switch is read when a module is traced,
 so it composes with jit (different settings produce different compiled
-programs). Default comes from the ``GANFFN_PALLAS`` env var ("1" enables) and
-can be overridden lexically::
+programs). Defaults come from env vars, overridable lexically::
 
     with use_pallas_attention(True):
         loss = train_step(...)
+
+- ``GANFFN_PALLAS`` ("1"/"0") sets the fused-ATTENTION default; unset, it
+  enables on TPU backends (measured +12% on the flagship step, PERF.md).
+- ``GANFFN_PALLAS_MLP`` sets the fused-MLP default; unset, it is OFF
+  everywhere: the measured flagship delta is -1% (XLA already fuses the
+  elementwise chains into these small matmuls well — PERF.md "Fused MLP
+  kernel"). The kernel stays available for larger-d_model deployments.
 """
 
 from __future__ import annotations
@@ -14,29 +20,51 @@ from __future__ import annotations
 import os
 from contextlib import contextmanager
 
-def _default_enabled() -> bool:
-    env = os.environ.get("GANFFN_PALLAS")
+def _default_enabled(var: str = "GANFFN_PALLAS"):
+    env = os.environ.get(var)
     if env is not None:
         return env == "1"
-    return None  # decide from backend on first query
+    return None  # decide from backend / measurement on first query
 
 
-_STATE = {"attention": _default_enabled()}
+_STATE = {
+    "attention": _default_enabled("GANFFN_PALLAS"),
+    "mlp": _default_enabled("GANFFN_PALLAS_MLP"),
+}
+
+
+def _enabled(key: str) -> bool:
+    if _STATE[key] is None:
+        if key == "mlp":
+            _STATE[key] = False  # measured: no win at the reference geometries
+        else:
+            import jax
+
+            _STATE[key] = jax.default_backend() == "tpu"
+    return _STATE[key]
 
 
 def pallas_attention_enabled() -> bool:
-    if _STATE["attention"] is None:
-        import jax
+    return _enabled("attention")
 
-        _STATE["attention"] = jax.default_backend() == "tpu"
-    return _STATE["attention"]
+
+def pallas_mlp_enabled() -> bool:
+    return _enabled("mlp")
 
 
 @contextmanager
-def use_pallas_attention(enabled: bool = True):
-    prev = _STATE["attention"]
-    _STATE["attention"] = enabled
+def _use(key: str, enabled: bool):
+    prev = _STATE[key]
+    _STATE[key] = enabled
     try:
         yield
     finally:
-        _STATE["attention"] = prev
+        _STATE[key] = prev
+
+
+def use_pallas_attention(enabled: bool = True):
+    return _use("attention", enabled)
+
+
+def use_pallas_mlp(enabled: bool = True):
+    return _use("mlp", enabled)

@@ -168,3 +168,150 @@ def test_generator_grads_pallas_vs_xla():
     g_pallas = jax.grad(make_loss(True))(params)
     for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_pallas)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused MLP kernel (ops/mlp.py)
+# ---------------------------------------------------------------------------
+
+
+def _xla_head(x, k1, b1, k2, b2):
+    """Reference chain for the generator head (deterministic): gelu -> fc1 ->
+    gelu -> fc2 -> gelu (dropouts elided at rate 0)."""
+    g = lambda t: jax.nn.gelu(t, approximate=False)
+    return g(g(g(x) @ k1 + b1) @ k2 + b2)
+
+
+def _xla_ffn(x, k1, b1, k2, b2):
+    """Encoder FFN chain: linear1 -> relu -> linear2."""
+    return jnp.maximum(x @ k1 + b1, 0.0) @ k2 + b2
+
+
+@pytest.mark.parametrize(
+    "shape,cfg_name",
+    [
+        ((50, 3, 100), "head"),     # generator head: K=100 -> 512 -> 100
+        ((50, 3, 100), "ffn"),      # encoder FFN: K=100 -> 2048 -> 100
+        ((23, 2, 512), "head512"),  # visual head: 512 -> 1024 -> 100
+    ],
+)
+def test_fused_mlp_fwd_parity(shape, cfg_name):
+    from gan_ffn_tpu.ops.mlp import fused_mlp
+
+    rng = np.random.default_rng(11)
+    K = shape[-1]
+    H, N = {"head": (512, 100), "ffn": (2048, 100), "head512": (1024, 100)}[cfg_name]
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    k1 = jnp.asarray(rng.normal(size=(K, H)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.05)
+    k2 = jnp.asarray(rng.normal(size=(H, N)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.normal(size=(N,)).astype(np.float32) * 0.05)
+
+    if cfg_name == "ffn":
+        got = fused_mlp(x, k1, b1, k2, b2, mid=("relu", "act_first", 0.0))
+        want = _xla_ffn(x, k1, b1, k2, b2)
+    else:
+        got = fused_mlp(
+            x, k1, b1, k2, b2,
+            pre=("gelu", 0.0), mid=("gelu", "drop_first", 0.0),
+            post=("gelu", "drop_first", 0.0),
+        )
+        want = _xla_head(x, k1, b1, k2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("cfg_name", ["head", "ffn"])
+def test_fused_mlp_grad_parity(cfg_name):
+    from gan_ffn_tpu.ops.mlp import fused_mlp
+
+    rng = np.random.default_rng(12)
+    K, H, N = 100, 256, 100
+    x = jnp.asarray(rng.normal(size=(30, 2, K)).astype(np.float32))
+    k1 = jnp.asarray(rng.normal(size=(K, H)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.05)
+    k2 = jnp.asarray(rng.normal(size=(H, N)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.normal(size=(N,)).astype(np.float32) * 0.05)
+
+    if cfg_name == "ffn":
+        f_p = lambda *a: (fused_mlp(*a, mid=("relu", "act_first", 0.0)) ** 2).sum()
+        f_x = lambda *a: (_xla_ffn(*a) ** 2).sum()
+    else:
+        f_p = lambda *a: (
+            fused_mlp(
+                *a, pre=("gelu", 0.0), mid=("gelu", "drop_first", 0.0),
+                post=("gelu", "drop_first", 0.0),
+            ) ** 2
+        ).sum()
+        f_x = lambda *a: (_xla_head(*a) ** 2).sum()
+
+    gp = jax.grad(f_p, argnums=(0, 1, 2, 3, 4))(x, k1, b1, k2, b2)
+    gx = jax.grad(f_x, argnums=(0, 1, 2, 3, 4))(x, k1, b1, k2, b2)
+    for name, a, b in zip(("x", "w1", "b1", "w2", "b2"), gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_generator_fused_mlp_integration():
+    """TextGenerator with the fused MLP head+FFN (interpret mode) == the XLA
+    path, forward AND parameter grads."""
+    from gan_ffn_tpu.models import TextGenerator
+    from gan_ffn_tpu.ops.config import use_pallas_mlp
+
+    L, B, vl = 14, 3, 10
+    m = TextGenerator(D_h=100, num_layers=1)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    valid = jnp.asarray(vl, jnp.int32)
+
+    def loss(p, on):
+        with use_pallas_mlp(on):
+            out = m.apply({"params": p}, x, valid_len=valid, deterministic=True)
+        return (out[:vl] ** 2).sum(), out
+
+    (l_x, out_x), g_x = jax.value_and_grad(lambda p: loss(p, False), has_aux=True)(params)
+    (l_p, out_p), g_p = jax.value_and_grad(lambda p: loss(p, True), has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(out_p)[:vl], np.asarray(out_x)[:vl],
+                               rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.tpu_hardware
+def test_fused_mlp_dropout_tpu():
+    """TPU-gated dropout semantics for the fused MLP: seed-reproducible,
+    seed-sensitive, mean-preserving."""
+    from gan_ffn_tpu.ops.mlp import fused_mlp
+
+    dev = _tpu_device()
+    if dev is None:
+        pytest.skip("no TPU device reachable")
+    rng = np.random.default_rng(14)
+    K, H, N = 100, 256, 100
+    with jax.default_device(dev):
+        x = jnp.asarray(rng.normal(size=(40, 2, K)).astype(np.float32))
+        k1 = jnp.asarray(rng.normal(size=(K, H)).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32) * 0.05)
+        k2 = jnp.asarray(rng.normal(size=(H, N)).astype(np.float32) * 0.05)
+        b2 = jnp.asarray(rng.normal(size=(N,)).astype(np.float32) * 0.05)
+
+        def run(seed, rate):
+            return np.asarray(
+                fused_mlp(
+                    x, k1, b1, k2, b2,
+                    pre=("gelu", rate), mid=("gelu", "drop_first", rate),
+                    post=("gelu", "drop_first", rate),
+                    dropout_seed=jnp.asarray(seed),
+                )
+            )
+
+        o1, o1b, o2 = run(1, 0.3), run(1, 0.3), run(2, 0.3)
+        base = run(0, 0.0)
+        mean = np.mean([run(s, 0.3) for s in range(24)], axis=0)
+    np.testing.assert_array_equal(o1, o1b)
+    assert not np.allclose(o1, o2)
+    # gelu is nonlinear so the mean only TRACKS the deterministic output
+    err = np.abs(mean - base).mean() / (np.abs(base).mean() + 1e-9)
+    assert err < 0.6, f"24-seed mean deviates {err:.2%}"
