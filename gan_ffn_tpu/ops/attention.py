@@ -149,38 +149,68 @@ def _fused_attention_padded(qT, kT, vT, scalars, rate, scale):
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _fwd_call(rate: float, scale: float):
+    """Geometry-shared fwd runner: every attention site with the same
+    (rate, scale) — and, via jit's own cache, the same shapes/dtypes — calls
+    ONE jitted function, so a multi-encoder program (e.g. the fused 12-duel
+    stage-A step, which instantiates ~60 attention sites) presents each
+    distinct kernel geometry to XLA/Mosaic once instead of per site."""
+
+    @jax.jit
+    def run(scalars, qT, kT, vT):
+        B, H, Dh, Lp = qT.shape
+        kernel = functools.partial(
+            _fwd_kernel, H=H, Dh=Dh, Lp=Lp, rate=rate, scale=scale
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=_specs(3, H, Dh, Lp),
+            out_specs=_specs(1, H, Dh, Lp)[0],
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(qT.shape, qT.dtype),
+            grid_spec=grid_spec,
+        )(scalars, qT, kT, vT)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_call(rate: float, scale: float):
+    """Geometry-shared bwd runner (see _fwd_call)."""
+
+    @jax.jit
+    def run(scalars, qT, kT, vT, dOut):
+        B, H, Dh, Lp = qT.shape
+        kernel = functools.partial(
+            _bwd_kernel, H=H, Dh=Dh, Lp=Lp, rate=rate, scale=scale
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=_specs(4, H, Dh, Lp),
+            out_specs=_specs(3, H, Dh, Lp),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct(qT.shape, qT.dtype)] * 3,
+            grid_spec=grid_spec,
+        )(scalars, qT, kT, vT, dOut)
+
+    return run
+
+
 def _fa_fwd(qT, kT, vT, scalars, rate, scale):
-    B, H, Dh, Lp = qT.shape
-    kernel = functools.partial(_fwd_kernel, H=H, Dh=Dh, Lp=Lp, rate=rate, scale=scale)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=_specs(3, H, Dh, Lp),
-        out_specs=_specs(1, H, Dh, Lp)[0],
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(qT.shape, qT.dtype),
-        grid_spec=grid_spec,
-    )(scalars, qT, kT, vT)
+    out = _fwd_call(rate, scale)(scalars, qT, kT, vT)
     return out, (qT, kT, vT, scalars)
 
 
 def _fa_bwd(rate, scale, res, dOut):
     qT, kT, vT, scalars = res
-    B, H, Dh, Lp = qT.shape
-    kernel = functools.partial(_bwd_kernel, H=H, Dh=Dh, Lp=Lp, rate=rate, scale=scale)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=_specs(4, H, Dh, Lp),
-        out_specs=_specs(3, H, Dh, Lp),
-    )
-    dq, dk, dv = pl.pallas_call(
-        kernel,
-        out_shape=[jax.ShapeDtypeStruct(qT.shape, qT.dtype)] * 3,
-        grid_spec=grid_spec,
-    )(scalars, qT, kT, vT, dOut)
+    dq, dk, dv = _bwd_call(rate, scale)(scalars, qT, kT, vT, dOut)
     return dq, dk, dv, None
 
 

@@ -4,12 +4,19 @@ from .mesh import (
     replicate,
     shard_batch,
 )
-from .sweep import init_seed_sweep, make_sweep_train_step
+from .sweep import (
+    init_seed_sweep,
+    make_grid_mesh,
+    make_seed_mesh,
+    make_sweep_train_step,
+)
 
 __all__ = [
     "batch_sharding",
     "init_seed_sweep",
+    "make_grid_mesh",
     "make_mesh",
+    "make_seed_mesh",
     "make_sweep_train_step",
     "replicate",
     "shard_batch",

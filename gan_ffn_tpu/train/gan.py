@@ -87,6 +87,13 @@ class GANConfig:
     dtype: Any = None
     seed: int = 3407
     fused_schedule: bool = True
+    # Attention path for the fused program. Default False — measured: the
+    # XLA path compiles the 8-layer program in ~7 min and runs 36.5 ms/step;
+    # Pallas attention's step-time win (~+12% on the classifier) cannot
+    # amortize its Mosaic compile cost over a 22-second 150-epoch stage A
+    # (PERF.md "Adversarial stage A"). Geometry-shared kernel runners
+    # (ops/attention.py _fwd_call/_bwd_call) are in place for when it pays.
+    pallas_attention: bool = False
     # Cache the compiled fused-schedule executable on disk: the hosted TPU
     # stack bypasses jax's persistent compile cache, and this program costs
     # ~10-15 min to build per process otherwise (utils/aot.py).
@@ -271,14 +278,15 @@ def make_gan_train_step(cfg: GANConfig, mesh=None):
 
     def run_schedule(state, batch, rng):
         # The fused schedule instantiates ~60 attention sites (12 duels x
-        # multiple encoders x fwd/bwd); with the Pallas kernel each site is a
-        # separate Mosaic compilation and the program takes >40 min to build,
-        # vs ~7 min pure-XLA — while the step-time difference is noise at
-        # stage A's scale (~185 ms/step either way). Trace this program with
-        # the XLA attention path.
+        # multiple encoders x fwd/bwd). Round 1: with per-site Pallas kernels
+        # the program took >40 min to build vs ~7 min pure-XLA, for a
+        # step-time difference that is noise at stage A's scale. Round 2
+        # added geometry-shared kernel runners (each distinct geometry traces
+        # once); cfg.pallas_attention selects the path, default XLA (see
+        # GANConfig and PERF.md for the measurements).
         from ..ops.config import use_pallas_attention
 
-        with use_pallas_attention(False):
+        with use_pallas_attention(cfg.pallas_attention):
             if mesh is not None:
                 state, batch = constrain_dp(state, batch)
             params = dict(state["params"])
@@ -303,6 +311,10 @@ def make_gan_train_step(cfg: GANConfig, mesh=None):
                 run_schedule,
                 salt=f"gan12duel:{cfg}:mesh={mesh_tag}",
                 donate_argnums=(0,),
+                # dispatch on (batch, rng) only: the state tree's ~1000 leaves
+                # have config-fixed shapes, and hashing them per call costs
+                # more than the step itself (utils/aot.py)
+                sig_argnums=(1, 2),
             )
         return jax.jit(run_schedule, donate_argnums=(0,))
 

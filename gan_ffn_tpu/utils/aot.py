@@ -97,25 +97,44 @@ class ShapeDispatchingAOT:
 
     Used for the bucketed train steps: one executable per bucket shape, all
     disk-cached across processes.
+
+    ``sig_argnums`` restricts WHICH arguments form the dispatch key. For a
+    train step ``(state, batch, rng)`` the state tree has O(1000) leaves that
+    never change shape across a run; hashing it every call cost ~20 ms of
+    Python per step (measured: the stage-A step fell from 36.5 to ~17 ms once
+    dispatch keyed on the batch alone). Args outside ``sig_argnums`` must
+    keep constant shapes/dtypes/shardings for a given wrapper instance —
+    true for the GAN state, whose shapes are fixed by the config and whose
+    placement is fixed by the (salted) mesh.
     """
 
-    def __init__(self, fn, salt: str = "", donate_argnums: Sequence[int] = ()):
+    def __init__(
+        self,
+        fn,
+        salt: str = "",
+        donate_argnums: Sequence[int] = (),
+        sig_argnums: Optional[Sequence[int]] = None,
+    ):
         self._fn = fn
         self._salt = salt
         self._donate = tuple(donate_argnums)
+        self._sig = tuple(sig_argnums) if sig_argnums is not None else None
         self._compiled = {}
 
     def __call__(self, *args):
         # shape + dtype + SHARDING: an AOT executable is specialized to its
         # input shardings, so same-shaped calls with different placements
         # must dispatch to different executables.
+        sig_args = (
+            args if self._sig is None else tuple(args[i] for i in self._sig)
+        )
         sig = jax.tree.map(
             lambda x: (
                 getattr(x, "shape", None),
                 str(getattr(x, "dtype", type(x))),
                 str(getattr(x, "sharding", None)),
             ),
-            args,
+            sig_args,
         )
         import json
 

@@ -18,9 +18,16 @@ import gan_ffn_tpu.ops.attention as A
 
 @pytest.fixture(autouse=True)
 def interpret_pallas(request, monkeypatch):
+    # the geometry-shared jitted runners cache traced pallas_calls; a trace
+    # made under the interpret patch must not leak into hardware tests (or
+    # vice versa), so drop the caches around every test
+    A._fwd_call.cache_clear()
+    A._bwd_call.cache_clear()
     if "tpu_hardware" in request.keywords:
         # hardware tests run the compiled Mosaic kernel on the real chip
         yield
+        A._fwd_call.cache_clear()
+        A._bwd_call.cache_clear()
         return
     orig = pl.pallas_call
 
@@ -30,6 +37,8 @@ def interpret_pallas(request, monkeypatch):
 
     monkeypatch.setattr(A.pl, "pallas_call", patched)
     yield
+    A._fwd_call.cache_clear()
+    A._bwd_call.cache_clear()
 
 
 def _tpu_device():

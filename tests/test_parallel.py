@@ -8,7 +8,12 @@ import pytest
 
 from gan_ffn_tpu.models import GAN_FFN
 from gan_ffn_tpu.parallel import make_mesh, replicate, shard_batch
-from gan_ffn_tpu.parallel.sweep import init_seed_sweep, make_seed_mesh, make_sweep_train_step
+from gan_ffn_tpu.parallel.sweep import (
+    init_seed_sweep,
+    make_grid_mesh,
+    make_seed_mesh,
+    make_sweep_train_step,
+)
 from gan_ffn_tpu.train.classifier import init_classifier_state, make_classifier_steps
 from gan_ffn_tpu.train.optim import torch_adam
 
@@ -154,3 +159,37 @@ def test_multi_seed_sweep(cpu_devices):
     assert np.isfinite(losses).all()
     assert len(np.unique(losses.round(6))) > 1  # seeds diverge
     assert preds.shape == (8, B * L)
+
+
+def test_grid_mesh_sweep_matches_seed_mesh(cpu_devices):
+    """2 seeds x 4-way DP on the (seed, data) grid mesh produce the SAME
+    per-seed losses and params as the pure 1-D seed mesh (data sharding is
+    numerically transparent)."""
+    model = GAN_FFN(n_classes=6, gen_num_layers=1)
+    batch = _batch()
+    (train_step, eval_step), opt = _steps(model)
+
+    def init_fn(key):
+        params = model.init(key, batch["audio"], batch["visual"], batch["text"])["params"]
+        return init_classifier_state(params, opt)
+
+    seeds = [0, 1]
+    rngs = jnp.stack([jax.random.PRNGKey(100 + s) for s in seeds])
+
+    mesh_1d = make_seed_mesh(cpu_devices[: len(seeds)])
+    stacked_1d = init_seed_sweep(init_fn, seeds, mesh_1d)
+    step_1d = make_sweep_train_step(train_step, mesh_1d)
+    stacked_1d, losses_1d, preds_1d = step_1d(stacked_1d, rngs, batch)
+
+    grid = make_grid_mesh(n_seed=len(seeds), devices=cpu_devices)
+    assert dict(grid.shape) == {"seed": 2, "data": 4}
+    stacked_2d = init_seed_sweep(init_fn, seeds, grid)
+    step_2d = make_sweep_train_step(train_step, grid)
+    stacked_2d, losses_2d, preds_2d = step_2d(stacked_2d, rngs, batch)
+
+    np.testing.assert_allclose(
+        np.asarray(losses_2d), np.asarray(losses_1d), rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(preds_2d), np.asarray(preds_1d))
+    for a, b in zip(jax.tree.leaves(stacked_1d["params"]), jax.tree.leaves(stacked_2d["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
