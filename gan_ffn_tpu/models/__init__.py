@@ -1,6 +1,7 @@
 from .baselines import (
     CNN,
     CNNFeatureExtractor,
+    TextCNN,
     E2ELSTMModel,
     Emoformer,
     FullyConnection,
@@ -24,6 +25,7 @@ __all__ = [
     "BiModel",
     "CNN",
     "CNNFeatureExtractor",
+    "TextCNN",
     "E2ELSTMModel",
     "DialogueRNN",
     "Emoformer",

@@ -15,8 +15,12 @@ Implemented for capability-surface completeness:
 - ``CNNFeatureExtractor`` / ``E2ELSTMModel`` — token-level end-to-end pipeline
   (model.py:691-825).
 
-NOT implemented: ``TextCNN`` (model.py:357-390) — it references an undefined
-``self.config`` and cannot run in the reference either (dead code).
+- ``TextCNN`` — a RUNNABLE realization of model.py:357-390. The reference
+  class cannot execute (``self.config`` read before assignment in __init__,
+  and a missing channel axis in forward — both proven by
+  tests/test_reference_parity.py::test_textcnn_reference_is_unrunnable);
+  this module implements the evident intent with those two defects repaired
+  and an explicit ``sentence_max_size``/``label_num`` config surface.
 """
 
 from __future__ import annotations
@@ -180,6 +184,43 @@ class CNN(nn.Module):
         logits = TorchLinear(self.output_dim, name="fc")(cat)
         log_prob = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         return log_prob, [], [], [], cat
+
+
+class TextCNN(nn.Module):
+    """Runnable realization of the reference's dead TextCNN (model.py:357-390).
+
+    The reference reads ``self.config.sentence_max_size`` / ``.label_num``
+    before ever assigning ``self.config`` (AttributeError at construction)
+    and feeds a 3-D (B, L, E) tensor into ``Conv2d(1, 1, (k, 100))``
+    (channel-rank mismatch). Repairs: an explicit config surface (the two
+    attributes the reference reads) and the channel axis on the input.
+    Semantics otherwise as written: three single-output-channel full-width
+    convs (k = 3/4/5) -> relu -> max-pool over the conv output's time axis
+    -> concat to (B, 3) -> Linear(3 -> label_num). Returns raw logits (the
+    reference applies no log_softmax here).
+    """
+
+    sentence_max_size: int
+    label_num: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        # x (L, B, E) -> (B, L, E, 1): NHWC single-channel image, matching
+        # the repaired torch forward's (B, 1, L, E)
+        xb = x.transpose(1, 0, 2)[:, :, :, None]
+        E = x.shape[-1]
+        feats = []
+        for k in (3, 4, 5):
+            c = nn.Conv(
+                features=1, kernel_size=(k, E), padding="VALID", name=f"conv{k}"
+            )(xb)
+            c = nn.relu(c)  # (B, L-k+1, 1, 1)
+            # MaxPool2d((sentence_max_size - k + 1, 1)) over the full window
+            pool_len = self.sentence_max_size - k + 1
+            feats.append(jnp.max(c[:, :pool_len, 0, 0], axis=1))  # (B,)
+        cat = jnp.stack(feats, axis=1)  # (B, 3)
+        return TorchLinear(self.label_num, name="linear1")(cat)
 
 
 class FullyConnection(nn.Module):

@@ -792,3 +792,71 @@ def test_bimodel_gradient_parity():
     loss, grads = jax.value_and_grad(loss_fn)(params)
     assert float(loss) == pytest.approx(float(loss_t.detach()), rel=1e-4)
     assert_tree_allclose(grads, want, rtol=GRAD_RTOL, atol=GRAD_ATOL)
+
+
+def test_textcnn_reference_is_unrunnable():
+    """The reference TextCNN (model.py:357-390) reads self.config in
+    __init__ before any assignment — it cannot even be constructed. (Its
+    forward additionally lacks the channel axis Conv2d needs.) Our
+    models.TextCNN is the repaired, runnable realization — parity for the
+    repaired semantics is pinned in test_baselines.py."""
+
+    class Cfg:
+        sentence_max_size = 14
+        label_num = 6
+
+    with pytest.raises(AttributeError):
+        refmodel.TextCNN(Cfg())
+
+
+def test_textcnn_repaired_parity():
+    """Our TextCNN == a minimally-repaired torch TextCNN (the reference's
+    code with `self.config = config` added and the missing channel axis
+    inserted), weights transplanted."""
+    import torch.nn.functional as F
+    from torch import nn as tnn
+
+    import gan_ffn_tpu.models as M
+
+    class RepairedTextCNN(tnn.Module):
+        def __init__(self, sentence_max_size, label_num):
+            super().__init__()
+            self.conv3 = tnn.Conv2d(1, 1, (3, 100))
+            self.conv4 = tnn.Conv2d(1, 1, (4, 100))
+            self.conv5 = tnn.Conv2d(1, 1, (5, 100))
+            self.Max3_pool = tnn.MaxPool2d((sentence_max_size - 3 + 1, 1))
+            self.Max4_pool = tnn.MaxPool2d((sentence_max_size - 4 + 1, 1))
+            self.Max5_pool = tnn.MaxPool2d((sentence_max_size - 5 + 1, 1))
+            self.linear1 = tnn.Linear(3, label_num)
+            self.label_num = label_num
+
+        def forward(self, x):
+            batch = x.shape[1]
+            x = x.permute(1, 0, 2).unsqueeze(1)  # repair: channel axis
+            x1 = self.Max3_pool(F.relu(self.conv3(x)))
+            x2 = self.Max4_pool(F.relu(self.conv4(x)))
+            x3 = self.Max5_pool(F.relu(self.conv5(x)))
+            x = torch.cat((x1, x2, x3), -1).view(batch, 1, -1)
+            return self.linear1(x).view(-1, self.label_num)
+
+    ref = RepairedTextCNN(L, 6).eval()
+    ours = M.TextCNN(sentence_max_size=L, label_num=6)
+
+    def conv_params(c):
+        # torch (out=1, in=1, k, E) -> flax (k, E, in=1, out=1)
+        return {
+            "kernel": t2n(c.weight).transpose(2, 3, 1, 0),
+            "bias": t2n(c.bias),
+        }
+
+    params = {
+        "conv3": conv_params(ref.conv3),
+        "conv4": conv_params(ref.conv4),
+        "conv5": conv_params(ref.conv5),
+        "linear1": linear_params(ref.linear1),
+    }
+    x = np.random.default_rng(40).normal(size=(L, B, 100)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x)).numpy()
+    got = ours.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-4, atol=2e-5)
