@@ -283,3 +283,37 @@ def test_gan_step_golden_values():
     }
     for k, v in golden.items():
         assert float(losses[k]) == pytest.approx(v, abs=2e-4), k
+
+
+def test_stage_a_loss_trajectory_band(iemocap_pickle):
+    """Tolerance-banded training-dynamics regression for stage A: 15 epochs
+    of the fused 12-duel schedule (1-layer nets) on the session fixture must
+    reproduce the recorded loss trajectory within ±0.05. Complements the
+    single-step golden test (test_gan_step_golden_values) at depth — a
+    semantic change to the duel ordering, detach semantics, optimizer
+    threading, or loss masking moves these numbers far beyond the band.
+    (The deep 8-layer head-to-head against the reference's own train_GAN —
+    scripts/ab_gan_fingerprint.py — is committed in VALIDATION.md.)"""
+    from gan_ffn_tpu.cli.common import train_gan
+    from gan_ffn_tpu.data import get_iemocap_loaders
+
+    train_loader, _, _ = get_iemocap_loaders(iemocap_pickle, batch_size=32, valid=0.1)
+    cfg = GANConfig(num_layers=1, aot_cache=False)
+    state, history = train_gan(
+        cfg, train_loader, 15, log_every_batch=False, log=lambda s: None
+    )
+    # recorded from this exact configuration (threefry PRNG, CPU f32)
+    expected = {
+        5: {"acoustic_G_loss": 0.6322, "visual_G_loss": 0.5936, "text_G_loss": 0.6046,
+            "visual_D_loss": 0.6895, "text_D_loss": 0.7056, "acoustic_D_loss": 0.7093},
+        10: {"acoustic_G_loss": 0.6305, "visual_G_loss": 0.5857, "text_G_loss": 0.6132,
+             "visual_D_loss": 0.6815, "text_D_loss": 0.7137, "acoustic_D_loss": 0.7144},
+        15: {"acoustic_G_loss": 0.6201, "visual_G_loss": 0.5830, "text_G_loss": 0.6142,
+             "visual_D_loss": 0.6751, "text_D_loss": 0.7142, "acoustic_D_loss": 0.7162},
+    }
+    for epoch, row in expected.items():
+        got = history[epoch - 1]
+        for key, want in row.items():
+            assert abs(got[key] - want) < 0.05, (
+                f"epoch {epoch} {key}: {got[key]:.4f} drifted from {want:.4f}"
+            )
