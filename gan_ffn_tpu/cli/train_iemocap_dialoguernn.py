@@ -191,6 +191,8 @@ def main(argv=None) -> dict:
         test_res = run_epoch(test_loader, state["params"], eval_step=eval_step)
         if best is None or best[0] > test_res.avg_loss:
             best = (test_res.avg_loss, test_res.labels, test_res.preds, test_res.masks)
+            # device-side copy: live buffers get donated by the next step
+            best_params = jax.tree.map(jnp.copy, state["params"])
         if writer.enabled:
             # reference scalar tags (train_IEMOCAP_DialogueRNN.py:787-789) +
             # per-parameter grad histograms (167-169), sampled per epoch
@@ -210,6 +212,13 @@ def main(argv=None) -> dict:
         )
 
     writer.close()
+    # best-snapshot checkpoint (the reference keeps its best model as
+    # in-memory metrics only, train_IEMOCAP_DialogueRNN.py:793-800)
+    from ..utils.checkpoint import save_params
+
+    ckpt = os.path.join(args.model_save_path, "dialoguernn_classifier_best.msgpack")
+    save_params(ckpt, best_params)
+    print(f"saved best classifier to {ckpt}")
     best_loss, best_label, best_pred, best_mask = best
     final_f1 = round(
         f1_score(best_label, best_pred, sample_weight=best_mask, average="weighted") * 100, 2

@@ -124,6 +124,7 @@ def main(argv=None) -> dict:
                 test_res.avg_fscore, test_res.avg_loss,
                 test_res.labels, test_res.preds, test_res.masks,
             )
+            best_params = jax.tree.map(jnp.copy, state["params"])
         print(
             "epoch {} train_loss {} train_acc {} train_fscore {} valid_loss {} "
             "valid_acc {} val_fscore {} test_loss {} test_acc {} test_fscore {} time {}".format(
@@ -141,6 +142,12 @@ def main(argv=None) -> dict:
         )
 
     writer.close()
+    # best-snapshot checkpoint (the reference keeps in-memory metrics only)
+    from ..utils.checkpoint import save_params
+
+    ckpt = os.path.join("./GAN_save/", "meld_classifier_best.msgpack")
+    save_params(ckpt, best_params)
+    print(f"saved best classifier to {ckpt}")
     best_fscore, best_loss, best_label, best_pred, best_mask = best
     print("Test performance..")
     print(
