@@ -70,7 +70,7 @@ def make_batches(path, batch_size, seed):
     return batches
 
 
-def train_jax(refmodel, torch_model, batches, epochs, lr, seed):
+def train_jax(torch_model, batches, epochs, lr, seed):
     import jax
     import jax.numpy as jnp
 
@@ -169,7 +169,7 @@ def main():
     torch_init = copy.deepcopy(torch_model)
 
     t0 = time.time()
-    jax_curve = train_jax(refmodel, torch_init, batches, args.epochs, args.lr, args.seed)
+    jax_curve = train_jax(torch_init, batches, args.epochs, args.lr, args.seed)
     t_jax = time.time() - t0
     t0 = time.time()
     # train the SAME torch module instance (same init) with the reference recipe
