@@ -315,6 +315,8 @@ def make_gan_train_step(cfg: GANConfig, mesh=None):
                 # have config-fixed shapes, and hashing them per call costs
                 # more than the step itself (utils/aot.py)
                 sig_argnums=(1, 2),
+                # DP-sharded executables reload onto exactly the mesh's devices
+                devices=list(mesh.devices.flat) if mesh is not None else None,
             )
         return jax.jit(run_schedule, donate_argnums=(0,))
 

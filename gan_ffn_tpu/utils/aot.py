@@ -7,9 +7,12 @@ executable to disk (``jax.experimental.serialize_executable``) and reloads it
 on the next run — trace+lower still happens (seconds), but the compile is
 skipped.
 
-The cache key covers: a caller salt, the jax version, the device kind and
-count, and a hash of the lowered StableHLO — so any change to the traced
-computation (code, shapes, dtypes, donation) produces a new entry.
+The cache key covers: a caller salt, the jax version, the device kind, the
+exact device assignment (ids, in mesh order), and a hash of the lowered
+StableHLO — so any change to the traced computation (code, shapes, dtypes,
+donation, placement) produces a new entry. Multi-device (mesh-sharded)
+executables are supported when the caller passes the mesh's devices; they
+reload onto exactly that assignment.
 """
 
 from __future__ import annotations
@@ -26,12 +29,15 @@ logger = logging.getLogger(__name__)
 DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/gan_ffn_tpu_xla/exec")
 
 
-def _cache_key(salt: str, lowered) -> str:
-    dev = jax.devices()[0]
+def _cache_key(salt: str, lowered, devices: Sequence[Any]) -> str:
+    dev = devices[0]
     h = hashlib.sha256()
     h.update(salt.encode())
     h.update(jax.__version__.encode())
-    h.update(f"{dev.platform}:{getattr(dev, 'device_kind', '?')}:{jax.device_count()}".encode())
+    h.update(f"{dev.platform}:{getattr(dev, 'device_kind', '?')}".encode())
+    # the executable is specialized to its device assignment: a different
+    # device set (or order — it fixes the mesh layout) is a different entry
+    h.update(",".join(str(d.id) for d in devices).encode())
     h.update(lowered.as_text().encode())
     return h.hexdigest()[:32]
 
@@ -42,11 +48,20 @@ def cached_compile(
     salt: str = "",
     donate_argnums: Sequence[int] = (),
     cache_dir: Optional[str] = None,
+    devices: Optional[Sequence[Any]] = None,
 ):
     """Compile ``fn`` for ``example_args`` with an on-disk executable cache.
 
     Returns a compiled callable taking the same pytree arguments. Falls back
     to plain compilation if (de)serialization is unsupported on the backend.
+
+    ``devices`` is the program's device assignment (e.g. ``mesh.devices.flat``
+    for a pjit-sharded step); cached executables are reloaded onto exactly
+    these devices (``deserialize_and_load(execution_devices=...)``). When
+    omitted it defaults to the single visible device; on a multi-device host
+    the intended placement cannot be inferred, so the cache is bypassed
+    (deserializing over ALL addressable devices would mis-place single-device
+    programs on e.g. the 8-CPU test mesh).
     """
     cache_dir = cache_dir or os.environ.get("GANFFN_EXEC_CACHE", DEFAULT_CACHE_DIR)
     lowered = jax.jit(fn, donate_argnums=tuple(donate_argnums)).lower(*example_args)
@@ -55,14 +70,13 @@ def cached_compile(
     except Exception:  # pragma: no cover - always present in modern jax
         return lowered.compile()
 
-    # deserialize_and_load reconstructs over ALL addressable devices, which
-    # breaks single-device programs on multi-device hosts (e.g. the 8-CPU
-    # test mesh). The expensive-compile case this cache exists for is the
-    # single-chip TPU, so restrict to that topology.
-    if len(jax.devices()) != 1:
-        return lowered.compile()
+    if devices is None:
+        if len(jax.devices()) != 1:
+            return lowered.compile()
+        devices = jax.devices()
+    devices = list(devices)
 
-    key = _cache_key(salt, lowered)
+    key = _cache_key(salt, lowered, devices)
     path = os.path.join(cache_dir, f"{key}.jaxexec")
     if os.path.exists(path):
         try:
@@ -70,7 +84,9 @@ def cached_compile(
 
             with open(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
-            compiled = se.deserialize_and_load(payload, in_tree, out_tree)
+            compiled = se.deserialize_and_load(
+                payload, in_tree, out_tree, execution_devices=devices
+            )
             logger.info("loaded cached executable %s", path)
             return compiled
         except Exception as e:  # stale/incompatible entry: recompile
@@ -114,11 +130,13 @@ class ShapeDispatchingAOT:
         salt: str = "",
         donate_argnums: Sequence[int] = (),
         sig_argnums: Optional[Sequence[int]] = None,
+        devices: Optional[Sequence[Any]] = None,
     ):
         self._fn = fn
         self._salt = salt
         self._donate = tuple(donate_argnums)
         self._sig = tuple(sig_argnums) if sig_argnums is not None else None
+        self._devices = list(devices) if devices is not None else None
         self._compiled = {}
 
     def __call__(self, *args):
@@ -142,7 +160,11 @@ class ShapeDispatchingAOT:
         compiled = self._compiled.get(key)
         if compiled is None:
             compiled = cached_compile(
-                self._fn, args, salt=self._salt, donate_argnums=self._donate
+                self._fn,
+                args,
+                salt=self._salt,
+                donate_argnums=self._donate,
+                devices=self._devices,
             )
             self._compiled[key] = compiled
         return compiled(*args)

@@ -99,13 +99,16 @@ def test_dp_train_step_matches_single_device(cpu_devices):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
-def test_gan_dp_step_matches_single_device(cpu_devices):
+def test_gan_dp_step_matches_single_device(cpu_devices, tmp_path, monkeypatch):
     """The fused 12-duel stage-A step is numerically equivalent under mesh DP
     (the stage the reference wraps in nn.DataParallel and that DEGRADED its
-    accuracy, train_IEMOCAP.py:588-593 / README.md:83)."""
+    accuracy, train_IEMOCAP.py:588-593 / README.md:83). The DP step runs with
+    the AOT executable cache ON, covering the multi-device serialize path."""
     from gan_ffn_tpu.train.gan import GANConfig, init_gan_state, make_gan_train_step
 
+    monkeypatch.setenv("GANFFN_EXEC_CACHE", str(tmp_path))
     cfg = GANConfig(num_layers=1, aot_cache=False)
+    cfg_dp = GANConfig(num_layers=1, aot_cache=True)
     mesh = make_mesh(cpu_devices)
     rng = np.random.default_rng(5)
     gl, gb = 8, 8  # batch divisible by the 8 devices
@@ -123,7 +126,7 @@ def test_gan_dp_step_matches_single_device(cpu_devices):
     step_single = make_gan_train_step(cfg)
     state1, losses1 = step_single(state, batch, key)
 
-    step_dp = make_gan_train_step(cfg, mesh=mesh)
+    step_dp = make_gan_train_step(cfg_dp, mesh=mesh)
     state2, losses2 = step_dp(
         replicate(state_copy, mesh), shard_batch(batch, mesh), key
     )
@@ -136,6 +139,8 @@ def test_gan_dp_step_matches_single_device(cpu_devices):
         jax.tree.leaves(state1["params"]), jax.tree.leaves(state2["params"])
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    # the mesh-sharded 12-duel executable was serialized to the disk cache
+    assert any(p.suffix == ".jaxexec" for p in tmp_path.iterdir())
 
 
 def test_multi_seed_sweep(cpu_devices):
