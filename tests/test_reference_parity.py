@@ -860,3 +860,54 @@ def test_textcnn_repaired_parity():
         expected = ref(torch.from_numpy(x)).numpy()
     got = ours.apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("att2", [False, True])
+def test_bie2e_model_full_parity(att2):
+    """BiE2EModel (model.py:1065-1175): shared turn GRU over three token
+    turns + bidirectional DialogueRNN on the 3-utterance dialogue. Unused by
+    the reference's entry points but part of its model surface — this closes
+    the last network without a weight-transplant test."""
+    import types
+
+    import gan_ffn_tpu.models as M
+    from torch_mapping import lstm_params
+
+    V, D_emb, D_m, D_g, D_p, D_e, D_h, C = 50, 16, 12, 10, 8, 6, 7, 7
+    word_emb = torch.from_numpy(
+        np.random.default_rng(50).normal(size=(V, D_emb)).astype(np.float32)
+    )
+    ref = refmodel.BiE2EModel(
+        D_emb, D_m, D_g, D_p, D_e, D_h, word_emb, n_classes=C,
+        context_attention="simple", dropout_rec=0.1, dropout=0.5,
+    ).eval()
+    ours = M.BiE2EModel(
+        D_emb=D_emb, D_m=D_m, D_g=D_g, D_p=D_p, D_e=D_e, D_h=D_h,
+        vocab_size=V, n_classes=C, context_attention="simple",
+        dropout_rec=0.1, dropout=0.5, att2=att2, deterministic=True,
+    )
+    params = {
+        "embedding": {"embedding": t2n(ref.embedding.weight)},
+        "turn_rnn": lstm_params(ref.turn_rnn),  # same naming scheme for nn.GRU
+        "dialog_rnn_f": _dialogue_rnn_params(ref.dialog_rnn_f, "simple"),
+        "dialog_rnn_r": _dialogue_rnn_params(ref.dialog_rnn_r, "simple"),
+        "linear1": linear_params(ref.linear1),
+        "smax_fc": linear_params(ref.smax_fc),
+    }
+    if att2:
+        params["matchatt"] = {"transform": linear_params(ref.matchatt.transform)}
+
+    rng = np.random.default_rng(51)
+    turns = [rng.integers(1, V, size=(9, B)).astype(np.int64) for _ in range(3)]
+    data = types.SimpleNamespace(
+        turn1=torch.from_numpy(turns[0]),
+        turn2=torch.from_numpy(turns[1]),
+        turn3=torch.from_numpy(turns[2]),
+    )
+    with torch.no_grad():
+        expected = ref(data, att2=att2).numpy()
+    got = ours.apply(
+        {"params": params},
+        jnp.asarray(turns[0]), jnp.asarray(turns[1]), jnp.asarray(turns[2]),
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-3, atol=2e-4)
