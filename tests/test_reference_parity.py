@@ -911,3 +911,73 @@ def test_bie2e_model_full_parity(att2):
         jnp.asarray(turns[0]), jnp.asarray(turns[1]), jnp.asarray(turns[2]),
     )
     np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-3, atol=2e-4)
+
+
+def test_matching_fn_full_parity():
+    """The standalone Matching fn (model.py:289-298) against the reference,
+    general2 attention, variable-length mask. (The reference only reaches it
+    through Emoformer's dead attention=True branch, so it has no transplant
+    coverage via a model test.)"""
+    import gan_ffn_tpu.nn.attention as A
+
+    D, Lm = 12, 6
+    ref_att = refmodel.MatchingAttention(D, D, att_type="general2").eval()
+    ours_att = A.MatchingAttention(D, D, att_type="general2")
+    params = {"transform": linear_params(ref_att.transform)}
+    rng = np.random.default_rng(60)
+    emotions = rng.normal(size=(Lm, B, D)).astype(np.float32)
+    modal = rng.normal(size=(Lm, B, D)).astype(np.float32)
+    umask = np.ones((B, Lm), dtype=np.float32)
+    umask[1, 4:] = 0.0
+    with torch.no_grad():
+        expected, _ = refmodel.Matching(
+            ref_att,
+            torch.from_numpy(emotions),
+            torch.from_numpy(modal),
+            torch.from_numpy(umask),
+        )
+    got, _ = A.matching(
+        lambda M, x, m: ours_att.apply({"params": params}, M, x, m),
+        jnp.asarray(emotions),
+        jnp.asarray(modal),
+        jnp.asarray(umask),
+    )
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_fully_connection_full_parity():
+    """FullyConnection (model.py:565-586): 5-layer GELU MLP transplant."""
+    import gan_ffn_tpu.models as M
+
+    ref = refmodel.FullyConnection().eval()
+    ours = M.FullyConnection()
+    params = {f"fc{i}": linear_params(getattr(ref, f"fc{i}")) for i in range(1, 6)}
+    x = np.random.default_rng(61).normal(size=(B, 100)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x)).numpy()
+    got = ours.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-3, atol=2e-4)
+
+
+def test_unmasked_weighted_nll_loss_parity():
+    """UnMaskedWeightedNLLLoss (model.py:99-114), weighted and unweighted."""
+    from gan_ffn_tpu.nn.losses import unmasked_weighted_nll_loss
+
+    rng = np.random.default_rng(62)
+    N, C = 40, 6
+    logits = rng.normal(size=(N, C)).astype(np.float32)
+    log_probs = logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+    target = rng.integers(0, C, size=N).astype(np.int64)
+    weight = rng.uniform(0.3, 1.5, size=C).astype(np.float32)
+
+    ref_unw = refmodel.UnMaskedWeightedNLLLoss()
+    ref_w = refmodel.UnMaskedWeightedNLLLoss(torch.from_numpy(weight))
+    with torch.no_grad():
+        exp_unw = ref_unw(torch.from_numpy(log_probs), torch.from_numpy(target))
+        exp_w = ref_w(torch.from_numpy(log_probs), torch.from_numpy(target))
+    got_unw = unmasked_weighted_nll_loss(jnp.asarray(log_probs), jnp.asarray(target))
+    got_w = unmasked_weighted_nll_loss(
+        jnp.asarray(log_probs), jnp.asarray(target), jnp.asarray(weight)
+    )
+    np.testing.assert_allclose(float(got_unw), float(exp_unw), rtol=1e-5)
+    np.testing.assert_allclose(float(got_w), float(exp_w), rtol=1e-5)
