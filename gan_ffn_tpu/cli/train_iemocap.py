@@ -177,7 +177,8 @@ def main(argv=None) -> dict:
     optimizer = torch_adam(args.lr, weight_decay=args.l2)
     apply_train, apply_eval = make_gan_ffn_apply_fns(model)
     train_step, eval_step = make_classifier_steps(
-        apply_train, apply_eval, optimizer, n_classes, loss_weights
+        apply_train, apply_eval, optimizer, n_classes, loss_weights,
+        aot_cache=True,  # fresh processes skip the compile (utils/aot.py)
     )
     state = init_classifier_state(params, optimizer)
     if args.tensorboard:

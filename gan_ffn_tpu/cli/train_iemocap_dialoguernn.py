@@ -166,7 +166,8 @@ def main(argv=None) -> dict:
     loss_weights = jnp.asarray(IEMOCAP_LOSS_WEIGHTS) if args.class_weight else None
     optimizer = torch_adam(args.lr, weight_decay=args.l2)
     train_step, eval_step = make_classifier_steps(
-        apply_train, apply_eval, optimizer, n_classes, loss_weights
+        apply_train, apply_eval, optimizer, n_classes, loss_weights,
+        aot_cache=True,  # the deep recurrent program costs ~215 s to compile
     )
     state = init_classifier_state(params, optimizer)
 

@@ -86,7 +86,8 @@ def main(argv=None) -> dict:
 
     optimizer = torch_adam(args.lr, weight_decay=args.l2)
     train_step, eval_step = make_classifier_steps(
-        apply_train, apply_eval, optimizer, n_classes, loss_weights=None
+        apply_train, apply_eval, optimizer, n_classes, loss_weights=None,
+        aot_cache=True,
     )
     state = init_classifier_state(params, optimizer)
 

@@ -71,6 +71,7 @@ def make_classifier_steps(
     optimizer: optax.GradientTransformation,
     n_classes: int,
     loss_weights: Optional[jnp.ndarray] = None,
+    aot_cache: bool = False,
 ):
     """Build (train_step, eval_step).
 
@@ -80,6 +81,13 @@ def make_classifier_steps(
     Both steps return ``(loss, preds (B*L,))``; labels/masks stay on host in
     the epoch loop. Loss/pred flattening matches the reference: log-probs are
     transposed batch-first then flattened (train_IEMOCAP.py:154-158).
+
+    ``aot_cache=True`` routes both steps through the on-disk executable cache
+    (utils/aot.py): fresh processes skip the compile (single-chip topologies;
+    multi-device hosts fall back to plain compilation). Dispatch keys on the
+    (rng, batch[, lr_scale]) signature only — the state tree's shapes are
+    fixed by the model config, and hashing its ~1000 leaves per call costs
+    more than the step (the stage-A lesson, PERF.md).
     """
 
     def loss_and_preds(log_prob, batch):
@@ -105,6 +113,15 @@ def make_classifier_steps(
         log_prob = apply_eval(params, batch)
         return loss_and_preds(log_prob, batch)
 
+    if aot_cache:
+        from ..utils.aot import ShapeDispatchingAOT
+
+        return (
+            ShapeDispatchingAOT(
+                train_step, salt="clf_train", donate_argnums=(0,), sig_argnums=(1, 2, 3)
+            ),
+            ShapeDispatchingAOT(eval_step, salt="clf_eval", sig_argnums=(1,)),
+        )
     return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
 
 

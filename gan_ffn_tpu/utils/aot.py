@@ -144,7 +144,12 @@ class ShapeDispatchingAOT:
         # input shardings, so same-shaped calls with different placements
         # must dispatch to different executables.
         sig_args = (
-            args if self._sig is None else tuple(args[i] for i in self._sig)
+            args
+            if self._sig is None
+            # tolerate optional trailing args (e.g. a train step's lr_scale):
+            # present vs absent yields different leaf counts, hence a
+            # different key and a separate executable
+            else tuple(args[i] for i in self._sig if i < len(args))
         )
         sig = jax.tree.map(
             lambda x: (

@@ -89,3 +89,64 @@ def test_aot_donation():
     x = jnp.ones((16, 16))
     state2, aux = wrapper(state, x)
     np.testing.assert_array_equal(np.asarray(state2["v"]), 2 * np.ones((16, 16)))
+
+
+def test_classifier_steps_aot_matches_jit():
+    """make_classifier_steps(aot_cache=True) is numerically identical to the
+    plain-jit path, for both the 3-arg call and the 4-arg lr_scale call
+    (separate dispatch signatures)."""
+    from gan_ffn_tpu.models import GAN_FFN
+    from gan_ffn_tpu.train.classifier import init_classifier_state, make_classifier_steps
+    from gan_ffn_tpu.train.optim import torch_adam
+
+    L, B = 6, 4
+    model = GAN_FFN(n_classes=6, gen_num_layers=1)
+    rng = np.random.default_rng(9)
+    batch = {
+        "text": jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32)),
+        "visual": jnp.asarray(rng.normal(size=(L, B, 512)).astype(np.float32)),
+        "audio": jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32)),
+        "umask": jnp.asarray(np.ones((B, L), dtype=np.float32)),
+        "label": jnp.asarray(rng.integers(0, 6, size=(B, L))),
+        "valid_len": jnp.asarray(L, dtype=jnp.int32),
+        "n_real": jnp.asarray(B, dtype=jnp.int32),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["audio"], batch["visual"], batch["text"]
+    )["params"]
+
+    def apply_train(p, r, b):
+        return model.apply(
+            {"params": p}, b["audio"], b["visual"], b["text"],
+            valid_len=b["valid_len"], deterministic=False, rngs={"dropout": r},
+        )[0]
+
+    def apply_eval(p, b):
+        return model.apply(
+            {"params": p}, b["audio"], b["visual"], b["text"],
+            valid_len=b["valid_len"], deterministic=True,
+        )[0]
+
+    opt = torch_adam(1e-4, weight_decay=0.008)
+    key = jax.random.PRNGKey(3)
+
+    results = {}
+    for aot in (False, True):
+        train_step, eval_step = make_classifier_steps(
+            apply_train, apply_eval, opt, 6, aot_cache=aot
+        )
+        state = init_classifier_state(
+            jax.tree.map(lambda x: jnp.array(np.asarray(x)), params), opt
+        )
+        state, loss1, _ = train_step(state, key, batch)
+        state, loss2, _ = train_step(state, key, batch, 0.5)  # lr_scale arity
+        eloss, _ = eval_step(state["params"], batch)
+        results[aot] = (float(loss1), float(loss2), float(eloss), state["params"])
+
+    assert results[False][0] == pytest.approx(results[True][0], rel=1e-6)
+    assert results[False][1] == pytest.approx(results[True][1], rel=1e-6)
+    assert results[False][2] == pytest.approx(results[True][2], rel=1e-6)
+    for a, b in zip(
+        jax.tree.leaves(results[False][3]), jax.tree.leaves(results[True][3])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
