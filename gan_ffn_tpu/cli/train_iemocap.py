@@ -167,8 +167,12 @@ def main(argv=None) -> dict:
     from ..train.loop import batch_to_arrays
 
     sample = batch_to_arrays(next(iter(train_loader)))
-    params = model.init(
-        jax.random.PRNGKey(args.seed), sample["audio"], sample["visual"], sample["text"]
+    from ..utils.aot import cached_call
+
+    params = cached_call(
+        lambda r, a, v, t: model.init(r, a, v, t),
+        jax.random.PRNGKey(args.seed), sample["audio"], sample["visual"], sample["text"],
+        salt="init_gan_ffn",
     )["params"]
     params = graft_generator_params(params, gan_state["params"])
     print("Number of parameter: %.2fM" % (param_count(params) / 1e6))

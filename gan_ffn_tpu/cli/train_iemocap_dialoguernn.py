@@ -139,10 +139,14 @@ def main(argv=None) -> dict:
         strict_parity=args.strict_parity,
     )
     sample = batch_to_arrays(next(iter(train_loader)))
-    params = model_eval.init(
+    from ..utils.aot import cached_call
+
+    params = cached_call(
+        lambda r, a, v, t, q, u: model_eval.init(r, a, v, t, q, u),
         jax.random.PRNGKey(args.seed),
         sample["audio"], sample["visual"], sample["text"],
         sample["qmask"], sample["umask"],
+        salt="init_gan_ffn_dialoguernn",
     )["params"]
     params = graft_generator_params(params, gan_state["params"])
     print("Number of parameter: %.2fM" % (param_count(params) / 1e6))

@@ -150,7 +150,15 @@ def init_gan_state(cfg: GANConfig, rng: jax.Array, seq_len: int = 16, batch: int
         else:
             d_in = cfg.D_h
         x = jnp.zeros((seq_len, batch, d_in), dtype=jnp.float32)
-        params[name] = module.init({"params": key}, x)["params"]
+        if cfg.aot_cache:
+            from ..utils.aot import cached_call
+
+            params[name] = cached_call(
+                lambda k, x_, m=module: m.init({"params": k}, x_),
+                key, x, salt=f"gan_init:{name}",
+            )["params"]
+        else:
+            params[name] = module.init({"params": key}, x)["params"]
     opt = {name: opts[name].init(params[name]) for name in modules}
     return {"params": params, "opt": opt}
 

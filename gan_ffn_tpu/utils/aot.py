@@ -107,6 +107,18 @@ def cached_compile(
     return compiled
 
 
+def cached_call(fn: Callable, *args, salt: str = ""):
+    """Run ``fn(*args)`` once, jitted, through the executable disk cache.
+
+    For one-shot computations whose compile is otherwise repaid every process
+    — model/optimizer initialization above all. Eager `module.init` over the
+    hosted tunnel dispatches hundreds of small ops at one RTT each; this
+    compiles them into one program the first time and skips even that compile
+    on later processes.
+    """
+    return cached_compile(fn, args, salt=salt)(*args)
+
+
 class ShapeDispatchingAOT:
     """Lazy per-shape AOT wrapper: behaves like ``jax.jit(fn)`` but each new
     argument-shape signature goes through :func:`cached_compile`.
