@@ -52,8 +52,12 @@ def main(argv=None) -> dict:
     loader = BucketedLoader(ds, batch_size=args.batch_size, shuffle=False)
 
     sample = batch_to_arrays(next(iter(loader)))
-    template = model.init(
-        jax.random.PRNGKey(0), sample["audio"], sample["visual"], sample["text"]
+    from ..utils.aot import cached_call
+
+    template = cached_call(
+        lambda r, a, v, t: model.init(r, a, v, t),
+        jax.random.PRNGKey(0), sample["audio"], sample["visual"], sample["text"],
+        salt="init_gan_ffn",
     )["params"]
     ckpt = os.path.join(args.model_save_path, "classifier_best.msgpack")
     params = load_params(ckpt, template)
