@@ -63,13 +63,17 @@ def main(argv=None) -> dict:
     params = load_params(ckpt, template)
     print(f"loaded classifier from {ckpt}")
 
-    @jax.jit
-    def infer(params, batch):
+    def infer_fn(params, batch):
         log_prob, *_ = model.apply(
             {"params": params}, batch["audio"], batch["visual"], batch["text"],
             valid_len=batch["valid_len"], deterministic=True,
         )
         return jnp.argmax(log_prob, axis=2)  # (L, B)
+
+    from ..utils.aot import ShapeDispatchingAOT
+
+    # one disk-cached executable per bucket shape; params shapes are fixed
+    infer = ShapeDispatchingAOT(infer_fn, salt="predict_infer", sig_argnums=(1,))
 
     per_utt = []
     all_preds, all_labels, all_masks = [], [], []

@@ -117,7 +117,8 @@ def main(argv=None) -> dict:
     apply_train, apply_eval = make_gan_ffn_apply_fns(model)
     optimizer = torch_adam(args.lr, weight_decay=args.l2)
     train_step, eval_step = make_classifier_steps(
-        apply_train, apply_eval, optimizer, 6, jnp.asarray(IEMOCAP_LOSS_WEIGHTS)
+        apply_train, apply_eval, optimizer, 6, jnp.asarray(IEMOCAP_LOSS_WEIGHTS),
+        aot_cache=True,
     )
 
     history_dir = os.path.join(args.output_dir, "history")

@@ -173,7 +173,13 @@ class ShapeDispatchingAOT:
         )
         import json
 
-        key = json.dumps(jax.tree.leaves(sig), sort_keys=False)
+        # leaf signatures + the pytree structure: same-shaped leaves under a
+        # renamed/re-nested key must not dispatch to the other structure's
+        # executable
+        key = json.dumps(
+            [str(jax.tree.structure(sig_args)), jax.tree.leaves(sig)],
+            sort_keys=False,
+        )
         compiled = self._compiled.get(key)
         if compiled is None:
             compiled = cached_compile(

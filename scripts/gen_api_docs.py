@@ -36,10 +36,6 @@ def _doc(obj) -> str:
     return doc.strip() if doc else ""
 
 
-def _first_paragraph(text: str) -> str:
-    return text.split("\n\n", 1)[0] if text else ""
-
-
 def _public_members(mod):
     """(classes, functions) defined in this module, in source order."""
     classes, functions = [], []

@@ -91,10 +91,11 @@ def test_aot_donation():
     np.testing.assert_array_equal(np.asarray(state2["v"]), 2 * np.ones((16, 16)))
 
 
-def test_classifier_steps_aot_matches_jit():
+def test_classifier_steps_aot_matches_jit(tmp_path, monkeypatch):
     """make_classifier_steps(aot_cache=True) is numerically identical to the
     plain-jit path, for both the 3-arg call and the 4-arg lr_scale call
     (separate dispatch signatures)."""
+    monkeypatch.setenv("GANFFN_EXEC_CACHE", str(tmp_path))
     from gan_ffn_tpu.models import GAN_FFN
     from gan_ffn_tpu.train.classifier import init_classifier_state, make_classifier_steps
     from gan_ffn_tpu.train.optim import torch_adam

@@ -33,3 +33,10 @@ def test_gen_api_docs_covers_every_module(tmp_path):
     assert "### `GAN_FFN`" in text
     assert "### `make_gan_train_step" in text
     assert "### `fused_attention" in text
+
+    # drift guard: the committed docs/API.md must match what the generator
+    # produces at HEAD (regenerate with `python scripts/gen_api_docs.py`)
+    committed = (REPO / "docs" / "API.md").read_text()
+    assert text == committed, (
+        "docs/API.md is stale — run `python scripts/gen_api_docs.py`"
+    )
