@@ -29,7 +29,7 @@ logger = logging.getLogger(__name__)
 DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/gan_ffn_tpu_xla/exec")
 
 
-def _cache_key(salt: str, lowered, devices: Sequence[Any]) -> str:
+def _cache_key(salt: str, lowered, devices: Sequence[Any], example_args) -> str:
     dev = devices[0]
     h = hashlib.sha256()
     h.update(salt.encode())
@@ -38,6 +38,16 @@ def _cache_key(salt: str, lowered, devices: Sequence[Any]) -> str:
     # the executable is specialized to its device assignment: a different
     # device set (or order — it fixes the mesh layout) is a different entry
     h.update(",".join(str(d.id) for d in devices).encode())
+    # the argument avals must key the entry INDEPENDENTLY of the lowered
+    # text: XLA drops dead args from the module signature (e.g. model.init
+    # uses only the input SHAPES, so its HLO is identical across batch
+    # sizes), but the compiled executable still validates the original
+    # avals at call time
+    h.update(str(jax.tree.structure(example_args)).encode())
+    for leaf in jax.tree.leaves(example_args):
+        h.update(
+            f"{getattr(leaf, 'shape', None)}:{getattr(leaf, 'dtype', type(leaf))};".encode()
+        )
     h.update(lowered.as_text().encode())
     return h.hexdigest()[:32]
 
@@ -71,12 +81,36 @@ def cached_compile(
         return lowered.compile()
 
     if devices is None:
-        if len(jax.devices()) != 1:
+        # Infer the placement from the example args: when every committed
+        # array lives on ONE device, the executable targets that device (and
+        # can cache + reload correctly even on multi-device hosts, and even
+        # when a TPU plugin is registered but the program is CPU-placed).
+        # Multi-device placements need explicit ``devices`` — a set loses the
+        # mesh order that deserialization must reproduce.
+        arg_devs = set()
+        for leaf in jax.tree.leaves(example_args):
+            sharding = getattr(leaf, "sharding", None)
+            if sharding is not None:
+                try:
+                    arg_devs |= set(sharding.device_set)
+                except Exception:  # pragma: no cover - exotic shardings
+                    return lowered.compile()
+        if len(arg_devs) == 1:
+            devices = list(arg_devs)
+        elif not arg_devs and len(jax.devices()) == 1:
+            devices = jax.devices()
+        else:
             return lowered.compile()
-        devices = jax.devices()
     devices = list(devices)
 
-    key = _cache_key(salt, lowered, devices)
+    # XLA:CPU AOT deserialization is fragile for large programs (missing
+    # fusion functions at materialization, machine-feature mismatches); the
+    # cache exists for the TPU's multi-minute remote compiles, so CPU disk
+    # caching is opt-in (the mechanics tests set GANFFN_EXEC_CACHE_CPU=1).
+    if devices[0].platform == "cpu" and os.environ.get("GANFFN_EXEC_CACHE_CPU") != "1":
+        return lowered.compile()
+
+    key = _cache_key(salt, lowered, devices, example_args)
     path = os.path.join(cache_dir, f"{key}.jaxexec")
     if os.path.exists(path):
         try:
@@ -85,7 +119,14 @@ def cached_compile(
             with open(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
             compiled = se.deserialize_and_load(
-                payload, in_tree, out_tree, execution_devices=devices
+                payload,
+                in_tree,
+                out_tree,
+                # default backend is jax.devices()[0].client, which is the
+                # TPU plugin whenever it is registered — even for CPU-mesh
+                # executables; bind the devices' own client explicitly
+                backend=devices[0].client,
+                execution_devices=devices,
             )
             logger.info("loaded cached executable %s", path)
             return compiled
@@ -102,9 +143,39 @@ def cached_compile(
             pickle.dump(se.serialize(compiled), f)
         os.replace(tmp, path)
         logger.info("stored executable cache %s", path)
+        _prune_cache(cache_dir, keep=path)
     except Exception as e:  # pragma: no cover - serialization unsupported
         logger.warning("executable cache store failed: %s", e)
     return compiled
+
+
+def _prune_cache(cache_dir: str, keep: str) -> None:
+    """Evict least-recently-used entries beyond ``GANFFN_EXEC_CACHE_MAX_GB``
+    (default 20; full-size stage-A executables are ~0.6 GB each). The
+    just-written entry is never evicted."""
+    try:
+        limit = float(os.environ.get("GANFFN_EXEC_CACHE_MAX_GB", "20")) * 1e9
+    except ValueError:  # pragma: no cover - malformed override
+        return
+    try:
+        entries = []
+        for name in os.listdir(cache_dir):
+            if not name.endswith(".jaxexec"):
+                continue
+            p = os.path.join(cache_dir, name)
+            st = os.stat(p)
+            entries.append((st.st_atime, st.st_size, p))
+        total = sum(size for _, size, _ in entries)
+        for atime, size, p in sorted(entries):
+            if total <= limit:
+                break
+            if os.path.abspath(p) == os.path.abspath(keep):
+                continue
+            os.remove(p)
+            total -= size
+            logger.info("evicted executable cache entry %s", p)
+    except OSError:  # pragma: no cover - concurrent eviction
+        pass
 
 
 def cached_call(fn: Callable, *args, salt: str = ""):

@@ -6,8 +6,12 @@ imported anywhere.
 """
 
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# isolate the AOT executable disk cache from the user's real one — several
+# code paths (init_gan_state, make_classifier_steps, the CLIs) write to it
+os.environ["GANFFN_EXEC_CACHE"] = tempfile.mkdtemp(prefix="ganffn_exec_test_")
 # tests run on CPU arrays; compiled pallas kernels need real TPU (the
 # interpret-mode kernel tests opt back in explicitly)
 os.environ["GANFFN_PALLAS"] = "0"

@@ -1,5 +1,7 @@
-"""AOT executable cache tests (CPU: multi-device guard => no disk cache, but
-the wrapper must still compile/dispatch correctly)."""
+"""AOT executable cache tests: single-device and mesh-sharded disk round
+trips, placement inference from args, dispatch keying, donation, LRU
+pruning, and classifier-step equivalence vs plain jit. The conftest points
+GANFFN_EXEC_CACHE at a throwaway dir."""
 
 import jax
 import jax.numpy as jnp
@@ -36,9 +38,10 @@ def test_shape_dispatching_aot():
     assert len(wrapper._compiled) == 2
 
 
-def test_cached_compile_multi_device_roundtrip(tmp_path, caplog):
+def test_cached_compile_multi_device_roundtrip(tmp_path, caplog, monkeypatch):
     """Sharded executables serialize to disk and reload onto the same mesh
     devices (deserialize_and_load(execution_devices=...))."""
+    monkeypatch.setenv("GANFFN_EXEC_CACHE_CPU", "1")
     import logging
 
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -68,14 +71,39 @@ def test_cached_compile_multi_device_roundtrip(tmp_path, caplog):
     assert out.sharding.device_set == set(devs)
 
 
-def test_cached_compile_multi_device_host_without_devices_bypasses_cache(tmp_path):
-    """No devices hint on a multi-device host => compile, don't cache."""
+def test_cached_compile_infers_single_device_placement(tmp_path, monkeypatch):
+    """No devices hint: a program whose args all live on one device caches
+    against exactly that device, even on the 8-device host (and regardless of
+    which platform plugin owns jax.devices()[0])."""
+    monkeypatch.setenv("GANFFN_EXEC_CACHE_CPU", "1")
 
     def f(a):
         return a + 1.0
 
-    x = jnp.ones((4,))
+    x = jax.device_put(jnp.ones((4,)), jax.devices("cpu")[0])
     c = cached_compile(f, (x,), salt="nodev", cache_dir=str(tmp_path))
+    np.testing.assert_allclose(np.asarray(c(x)), 2.0)
+    assert any(p.suffix == ".jaxexec" for p in tmp_path.iterdir())
+    c2 = cached_compile(f, (x,), salt="nodev", cache_dir=str(tmp_path))
+    out = c2(x)
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+    assert out.sharding.device_set == {jax.devices("cpu")[0]}
+
+
+def test_cached_compile_ambiguous_placement_bypasses_cache(tmp_path, monkeypatch):
+    """Args spanning several devices without an explicit devices list:
+    compile, don't cache (a set loses the mesh order deserialization needs)."""
+    monkeypatch.setenv("GANFFN_EXEC_CACHE_CPU", "1")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices("cpu")[:2]
+    mesh = Mesh(np.array(devs), ("data",))
+    x = jax.device_put(jnp.ones((4, 2)), NamedSharding(mesh, P("data")))
+
+    def f(a):
+        return a * 2.0
+
+    c = cached_compile(f, (x,), salt="ambig", cache_dir=str(tmp_path))
     np.testing.assert_allclose(np.asarray(c(x)), 2.0)
     assert not any(p.suffix == ".jaxexec" for p in tmp_path.iterdir())
 
@@ -151,3 +179,50 @@ def test_classifier_steps_aot_matches_jit(tmp_path, monkeypatch):
         jax.tree.leaves(results[False][3]), jax.tree.leaves(results[True][3])
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_cache_pruning_evicts_lru(tmp_path, monkeypatch):
+    """Entries beyond GANFFN_EXEC_CACHE_MAX_GB are evicted oldest-first; the
+    just-written entry survives."""
+    monkeypatch.setenv("GANFFN_EXEC_CACHE_MAX_GB", "0.000001")  # 1 kB
+    monkeypatch.setenv("GANFFN_EXEC_CACHE_CPU", "1")
+
+    import os
+    import time
+
+    dev = jax.devices("cpu")[0]
+    x = jax.device_put(jnp.ones((64, 64)), dev)
+    paths = []
+    for i in range(3):
+        salt = f"prune{i}"
+        cached_compile(lambda a, k=i: a + k, (x,), salt=salt, cache_dir=str(tmp_path))
+        entries = sorted(tmp_path.glob("*.jaxexec"), key=lambda p: p.stat().st_mtime)
+        paths.append(entries[-1])
+        time.sleep(0.01)
+        os.utime(entries[-1])  # distinct access times
+
+    remaining = set(tmp_path.glob("*.jaxexec"))
+    # each entry far exceeds 1 kB, so only the most recent write survives
+    assert paths[-1] in remaining
+    assert len(remaining) == 1
+
+
+def test_cache_key_distinguishes_dead_args(tmp_path, monkeypatch):
+    """Regression: a computation that uses only its args' SHAPES (like
+    model.init) lowers to IDENTICAL HLO for different batch sizes — XLA drops
+    the dead args from the module signature — so the cache key must hash the
+    argument avals independently of the lowered text. Without that, a 4-batch
+    init executable is served for a 32-batch call and fails aval validation."""
+    monkeypatch.setenv("GANFFN_EXEC_CACHE_CPU", "1")
+    dev = jax.devices("cpu")[0]
+
+    def shape_only(a):
+        return jnp.zeros((a.shape[1],))  # uses the shape, not the values
+
+    x4 = jax.device_put(jnp.ones((8, 4)), dev)
+    x32 = jax.device_put(jnp.ones((8, 32)), dev)
+    c4 = cached_compile(shape_only, (x4,), salt="dead", cache_dir=str(tmp_path))
+    assert np.asarray(c4(x4)).shape == (4,)
+    c32 = cached_compile(shape_only, (x32,), salt="dead", cache_dir=str(tmp_path))
+    assert np.asarray(c32(x32)).shape == (32,)  # collided pre-fix: TypeError
+    assert len(list(tmp_path.glob("*.jaxexec"))) == 2

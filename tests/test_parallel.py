@@ -107,6 +107,7 @@ def test_gan_dp_step_matches_single_device(cpu_devices, tmp_path, monkeypatch):
     from gan_ffn_tpu.train.gan import GANConfig, init_gan_state, make_gan_train_step
 
     monkeypatch.setenv("GANFFN_EXEC_CACHE", str(tmp_path))
+    monkeypatch.setenv("GANFFN_EXEC_CACHE_CPU", "1")
     cfg = GANConfig(num_layers=1, aot_cache=False)
     cfg_dp = GANConfig(num_layers=1, aot_cache=True)
     mesh = make_mesh(cpu_devices)
