@@ -52,13 +52,12 @@ def main(argv=None) -> dict:
     loader = BucketedLoader(ds, batch_size=args.batch_size, shuffle=False)
 
     sample = batch_to_arrays(next(iter(loader)))
-    from ..utils.aot import cached_call
+    from ..utils.aot import ShapeDispatchingAOT, cached_init
 
-    template = cached_call(
-        lambda r, a, v, t: model.init(r, a, v, t),
-        jax.random.PRNGKey(0), sample["audio"], sample["visual"], sample["text"],
-        salt="init_gan_ffn",
-    )["params"]
+    template = cached_init(
+        model, jax.random.PRNGKey(0),
+        sample["audio"], sample["visual"], sample["text"], salt="init_gan_ffn",
+    )
     ckpt = os.path.join(args.model_save_path, "classifier_best.msgpack")
     params = load_params(ckpt, template)
     print(f"loaded classifier from {ckpt}")
@@ -69,8 +68,6 @@ def main(argv=None) -> dict:
             valid_len=batch["valid_len"], deterministic=True,
         )
         return jnp.argmax(log_prob, axis=2)  # (L, B)
-
-    from ..utils.aot import ShapeDispatchingAOT
 
     # one disk-cached executable per bucket shape; params shapes are fixed
     infer = ShapeDispatchingAOT(infer_fn, salt="predict_infer", sig_argnums=(1,))

@@ -107,13 +107,12 @@ def main(argv=None) -> dict:
         n_classes=6, dropout=args.dropout, gen_num_layers=args.num_layers, dtype=dtype
     )
     sample = batch_to_arrays(next(iter(train_loader)))
-    from ..utils.aot import cached_call
+    from ..utils.aot import cached_init
 
-    base_params = cached_call(
-        lambda r, a, v, t: model.init(r, a, v, t),
-        jax.random.PRNGKey(args.seed), sample["audio"], sample["visual"], sample["text"],
-        salt="init_gan_ffn",
-    )["params"]
+    base_params = cached_init(
+        model, jax.random.PRNGKey(args.seed),
+        sample["audio"], sample["visual"], sample["text"], salt="init_gan_ffn",
+    )
     apply_train, apply_eval = make_gan_ffn_apply_fns(model)
     optimizer = torch_adam(args.lr, weight_decay=args.l2)
     train_step, eval_step = make_classifier_steps(

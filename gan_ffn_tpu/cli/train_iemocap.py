@@ -167,13 +167,12 @@ def main(argv=None) -> dict:
     from ..train.loop import batch_to_arrays
 
     sample = batch_to_arrays(next(iter(train_loader)))
-    from ..utils.aot import cached_call
+    from ..utils.aot import cached_init
 
-    params = cached_call(
-        lambda r, a, v, t: model.init(r, a, v, t),
-        jax.random.PRNGKey(args.seed), sample["audio"], sample["visual"], sample["text"],
-        salt="init_gan_ffn",
-    )["params"]
+    params = cached_init(
+        model, jax.random.PRNGKey(args.seed),
+        sample["audio"], sample["visual"], sample["text"], salt="init_gan_ffn",
+    )
     params = graft_generator_params(params, gan_state["params"])
     print("Number of parameter: %.2fM" % (param_count(params) / 1e6))
 

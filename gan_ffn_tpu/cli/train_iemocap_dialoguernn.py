@@ -139,15 +139,13 @@ def main(argv=None) -> dict:
         strict_parity=args.strict_parity,
     )
     sample = batch_to_arrays(next(iter(train_loader)))
-    from ..utils.aot import cached_call
+    from ..utils.aot import cached_init
 
-    params = cached_call(
-        lambda r, a, v, t, q, u: model_eval.init(r, a, v, t, q, u),
-        jax.random.PRNGKey(args.seed),
+    params = cached_init(
+        model_eval, jax.random.PRNGKey(args.seed),
         sample["audio"], sample["visual"], sample["text"],
-        sample["qmask"], sample["umask"],
-        salt="init_gan_ffn_dialoguernn",
-    )["params"]
+        sample["qmask"], sample["umask"], salt="init_gan_ffn_dialoguernn",
+    )
     params = graft_generator_params(params, gan_state["params"])
     print("Number of parameter: %.2fM" % (param_count(params) / 1e6))
 

@@ -67,13 +67,12 @@ def main(argv=None) -> dict:
         seed=args.seed,
     )
     sample = batch_to_arrays(next(iter(train_loader)), with_visual=False)
-    from ..utils.aot import cached_call
+    from ..utils.aot import cached_init
 
-    params = cached_call(
-        lambda r, t, q, u: model.init(r, t, q, u),
-        jax.random.PRNGKey(args.seed), sample["text"], sample["qmask"], sample["umask"],
-        salt="init_meld",
-    )["params"]
+    params = cached_init(
+        model, jax.random.PRNGKey(args.seed),
+        sample["text"], sample["qmask"], sample["umask"], salt="init_meld",
+    )
     print("Number of parameter: %.2fM" % (param_count(params) / 1e6))
 
     def apply_train(p, rng, batch):

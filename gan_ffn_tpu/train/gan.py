@@ -151,12 +151,9 @@ def init_gan_state(cfg: GANConfig, rng: jax.Array, seq_len: int = 16, batch: int
             d_in = cfg.D_h
         x = jnp.zeros((seq_len, batch, d_in), dtype=jnp.float32)
         if cfg.aot_cache:
-            from ..utils.aot import cached_call
+            from ..utils.aot import cached_init
 
-            params[name] = cached_call(
-                lambda k, x_, m=module: m.init({"params": k}, x_),
-                key, x, salt=f"gan_init:{name}",
-            )["params"]
+            params[name] = cached_init(module, key, x, salt=f"gan_init:{name}")
         else:
             params[name] = module.init({"params": key}, x)["params"]
     opt = {name: opts[name].init(params[name]) for name in modules}

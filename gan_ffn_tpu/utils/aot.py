@@ -68,10 +68,10 @@ def cached_compile(
     ``devices`` is the program's device assignment (e.g. ``mesh.devices.flat``
     for a pjit-sharded step); cached executables are reloaded onto exactly
     these devices (``deserialize_and_load(execution_devices=...)``). When
-    omitted it defaults to the single visible device; on a multi-device host
-    the intended placement cannot be inferred, so the cache is bypassed
-    (deserializing over ALL addressable devices would mis-place single-device
-    programs on e.g. the 8-CPU test mesh).
+    omitted, the placement is inferred from the example args: if every
+    committed array lives on one device the executable caches against that
+    device; ambiguous multi-device placements bypass the cache (a device SET
+    loses the mesh order deserialization must reproduce).
     """
     cache_dir = cache_dir or os.environ.get("GANFFN_EXEC_CACHE", DEFAULT_CACHE_DIR)
     lowered = jax.jit(fn, donate_argnums=tuple(donate_argnums)).lower(*example_args)
@@ -188,6 +188,15 @@ def cached_call(fn: Callable, *args, salt: str = ""):
     on later processes.
     """
     return cached_compile(fn, args, salt=salt)(*args)
+
+
+def cached_init(module, rng, *args, salt: str = ""):
+    """``module.init(rng, *args)`` through the executable disk cache;
+    returns the ``params`` tree. Shared by every CLI entry point and
+    ``init_gan_state``."""
+    return cached_call(
+        lambda r, *xs: module.init(r, *xs), rng, *args, salt=salt
+    )["params"]
 
 
 class ShapeDispatchingAOT:
