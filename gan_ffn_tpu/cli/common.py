@@ -22,7 +22,7 @@ from ..train.gan import (
     init_gan_state,
     make_gan_train_step,
 )
-from ..train.loop import batch_to_arrays
+from ..train.loop import prefetch_to_device
 from ..utils.artifacts import LossHistory, append_loss_row
 
 # IEMOCAP class weights (train_IEMOCAP.py:653)
@@ -84,10 +84,11 @@ def train_gan(
     for epoch in range(start_epoch, start_epoch + epochs):
         t0 = time.time()
         utterances = 0
-        # dispatch all batches asynchronously; fetch losses once per epoch
+        # dispatch all batches asynchronously; fetch losses once per epoch.
+        # prefetch overlaps the next batch's H2D copy with the current step
+        # (same pipeline the classifier's run_epoch uses)
         epoch_losses = []
-        for batch in train_loader:
-            arrays = batch_to_arrays(batch)
+        for batch, arrays in prefetch_to_device(train_loader):
             rng, sub = jax.random.split(rng)
             gan_batch = gan_batch_from(arrays)
             if mesh is not None:
