@@ -129,6 +129,14 @@ def cached_compile(
                 execution_devices=devices,
             )
             logger.info("loaded cached executable %s", path)
+            try:
+                # refresh the LRU timestamp explicitly: on relatime/noatime
+                # mounts reads do not update st_atime, which would degrade
+                # _prune_cache to write-order FIFO and could evict the
+                # hottest entry (a 10-15 min TPU recompile)
+                os.utime(path)
+            except OSError:  # pragma: no cover - entry pruned concurrently
+                pass
             return compiled
         except Exception as e:  # stale/incompatible entry: recompile
             logger.warning("executable cache load failed (%s); recompiling", e)
@@ -138,7 +146,9 @@ def cached_compile(
         import pickle
 
         os.makedirs(cache_dir, exist_ok=True)
-        tmp = path + ".tmp"
+        # per-process staging name: two concurrent first-compiles of the same
+        # key must not interleave writes into one .tmp before os.replace
+        tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "wb") as f:
             pickle.dump(se.serialize(compiled), f)
         os.replace(tmp, path)
@@ -230,6 +240,32 @@ class ShapeDispatchingAOT:
         self._sig = tuple(sig_argnums) if sig_argnums is not None else None
         self._devices = list(devices) if devices is not None else None
         self._compiled = {}
+        if self._sig is not None:
+            # fail fast on sig_argnums typos: an index beyond the function's
+            # positional arity can never select an argument, and the call-time
+            # ``i < len(args)`` tolerance (meant for absent trailing optionals
+            # like lr_scale) would silently weaken the dispatch key instead
+            import inspect
+
+            try:
+                params = list(inspect.signature(fn).parameters.values())
+            except (TypeError, ValueError):  # pragma: no cover - builtins
+                params = None
+            if params is not None and not any(
+                p.kind is inspect.Parameter.VAR_POSITIONAL for p in params
+            ):
+                n_pos = sum(
+                    1
+                    for p in params
+                    if p.kind
+                    in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                )
+                bad = [i for i in self._sig if i < 0 or i >= n_pos]
+                if bad:
+                    raise ValueError(
+                        f"sig_argnums {bad} out of range for {fn} "
+                        f"({n_pos} positional parameters)"
+                    )
 
     def __call__(self, *args):
         # shape + dtype + SHARDING: an AOT executable is specialized to its

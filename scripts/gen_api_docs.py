@@ -107,11 +107,19 @@ def main(out_path: str = "docs/API.md") -> None:
     for info in pkgutil.walk_packages(package.__path__, prefix=PACKAGE + "."):
         module_names.append(info.name)
 
+    import flax
+    import jax
+
     out = [
         "# gan_ffn_tpu API reference",
         "",
         "Generated from docstrings by `scripts/gen_api_docs.py` — do not edit",
         "by hand. Reference citations are `file:line` into `/root/reference`.",
+        "",
+        # version stamp: signature/default reprs can change across jax/flax
+        # releases, so the byte-exact drift guard (tests/test_docs.py) only
+        # applies when the test environment matches these versions
+        f"<!-- generated with jax {jax.__version__}, flax {flax.__version__} -->",
         "",
     ]
 

@@ -5,13 +5,17 @@ paths are exercised without TPU hardware. This must run before jax is
 imported anywhere.
 """
 
+import atexit
 import os
+import shutil
 import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 # isolate the AOT executable disk cache from the user's real one — several
 # code paths (init_gan_state, make_classifier_steps, the CLIs) write to it
-os.environ["GANFFN_EXEC_CACHE"] = tempfile.mkdtemp(prefix="ganffn_exec_test_")
+_exec_cache_dir = tempfile.mkdtemp(prefix="ganffn_exec_test_")
+os.environ["GANFFN_EXEC_CACHE"] = _exec_cache_dir
+atexit.register(shutil.rmtree, _exec_cache_dir, ignore_errors=True)
 # tests run on CPU arrays; compiled pallas kernels need real TPU (the
 # interpret-mode kernel tests opt back in explicitly)
 os.environ["GANFFN_PALLAS"] = "0"

@@ -108,6 +108,19 @@ def test_cached_compile_ambiguous_placement_bypasses_cache(tmp_path, monkeypatch
     assert not any(p.suffix == ".jaxexec" for p in tmp_path.iterdir())
 
 
+def test_sig_argnums_out_of_range_fails_fast():
+    """A sig_argnums index beyond the function's positional arity is a
+    construction-time error, not a silently weakened dispatch key; indices
+    covering optional trailing args (lr_scale) remain valid."""
+
+    def f(state, rng, batch, lr_scale=1.0):
+        return state
+
+    ShapeDispatchingAOT(f, sig_argnums=(1, 2, 3))  # ok: 3 is lr_scale
+    with pytest.raises(ValueError, match=r"sig_argnums \[4\]"):
+        ShapeDispatchingAOT(f, sig_argnums=(1, 4))
+
+
 def test_aot_donation():
     def f(state, x):
         return {"v": state["v"] + x}, (state["v"] * 0).sum()

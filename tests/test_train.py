@@ -184,6 +184,41 @@ def test_lr_schedule_decay_scales_updates():
         )
 
 
+def test_lambdalr_quirk_effective_lr_is_base_lr_torch_oracle():
+    """Torch oracle pinning the reference's per-batch LambdaLR re-creation
+    quirk (train_IEMOCAP.py:129-133,170): a FRESH ``LambdaLR(0.98**epoch)``
+    constructed inside the batch loop resets the group lr to
+    ``initial_lr * lambda(0) = lr0`` before ``optimizer.step`` runs, so every
+    applied step uses the BASE lr — constant, not lr0*0.98 and not a decay.
+    Our default ``lr_scale=1.0`` (train/classifier.py) matches this exactly;
+    SURVEY.md §2.8's earlier "effectively lr0*0.98" reading was wrong.
+    """
+    import torch
+
+    lr0 = 0.1
+    w = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([w], lr=lr0)  # SGD: applied step == group lr * grad
+    seen_lrs, deltas = [], []
+    for _epoch in range(3):
+        for _batch in range(2):
+            # the reference's exact per-batch sequence (train_IEMOCAP.py:
+            # 129-133 construct, 165-170 backward/step/scheduler.step)
+            scheduler = torch.optim.lr_scheduler.LambdaLR(
+                opt, lr_lambda=lambda epoch: 0.98**epoch
+            )
+            opt.zero_grad()
+            loss = w.sum()  # grad == 1
+            loss.backward()
+            seen_lrs.append(opt.param_groups[0]["lr"])
+            before = float(w.detach())
+            opt.step()
+            deltas.append(before - float(w.detach()))
+            scheduler.step()
+    # the lr actually applied by optimizer.step is the base lr every batch
+    assert seen_lrs == pytest.approx([lr0] * 6)
+    assert deltas == pytest.approx([lr0] * 6)  # NOT lr0*0.98, NOT decaying
+
+
 def test_mini_end_to_end_iemocap_slice(iemocap_pickle):
     """GAN pre-train (1 epoch) -> graft -> classifier train (2 epochs) -> eval.
 
