@@ -1,7 +1,14 @@
 """Throughput benchmark: utterances/sec/chip on the framework's hot paths.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "utterances/sec/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "utterances/sec/chip", "vs_baseline": N,
+     "median": N, "spread": N, "n_runs": N}
+
+``value`` is best-of-n_runs (comparable with earlier rounds' captures);
+``median``/``spread`` make a single capture interpretable against the hosted
+tunnel's ~±25% cross-process variance (PERF.md): spread = (max-min)/median
+over the in-process repeats. Round-over-round deltas smaller than the session
+variance bar are noise regardless of the in-process spread.
 
 Three modes, all at the reference's own shapes, all counting only REAL
 utterances (sum(umask) with realistic dialogue lengths 20-110):
@@ -72,19 +79,39 @@ def realistic_batch(rng, L, B, with_qmask=False):
     return batch, umask
 
 
-def timed_loop(step_once, loss_ref, steps, reps=3):
-    """Best-of-reps wall time for `steps` dispatches (tunnel-noise robust)."""
+def timed_loop(step_once, loss_ref, steps, reps=5):
+    """Wall times (seconds, one per rep) for `steps` dispatches each.
+
+    The caller reports best-of-reps as the headline (comparable with earlier
+    rounds) plus median/spread so single-shot captures are interpretable
+    against the hosted tunnel's ~±25% cross-process variance (PERF.md)."""
     import jax
 
-    best_dt = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = None
         for _ in range(steps):
             out = step_once()
         jax.block_until_ready(loss_ref(out))
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    return best_dt
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def throughput_stats(utt_per_run: float, times, baseline: float) -> dict:
+    """In-process repeat statistics for the JSON line: value (best), median,
+    spread (max-min over median, a dimensionless noise indicator), n_runs."""
+    rates = sorted(utt_per_run / t for t in times)
+    best = rates[-1]
+    median = rates[len(rates) // 2]
+    return {
+        "value": round(best, 1),
+        "unit": "utterances/sec/chip",
+        "vs_baseline": round(best / baseline, 2),
+        "median": round(median, 1),
+        "spread": round((rates[-1] - rates[0]) / median, 3),
+        "n_runs": len(rates),
+    }
 
 
 def bench_classifier(args):
@@ -123,14 +150,11 @@ def bench_classifier(args):
     for _ in range(args.warmup):
         loss = step_once()
     jax.block_until_ready(loss)
-    best_dt = timed_loop(step_once, lambda loss: loss, args.steps)
+    times = timed_loop(step_once, lambda loss: loss, args.steps)
 
-    ups = float(umask.sum()) * args.steps / best_dt
     return {
         "metric": "utterances/sec/chip (GAN_FFN train step, IEMOCAP flagship)",
-        "value": round(ups, 1),
-        "unit": "utterances/sec/chip",
-        "vs_baseline": round(ups / REFERENCE_V100_UPS, 2),
+        **throughput_stats(float(umask.sum()) * args.steps, times, REFERENCE_V100_UPS),
     }
 
 
@@ -161,14 +185,13 @@ def bench_stage_a(args):
     for _ in range(args.warmup):
         losses = step_once()
     jax.block_until_ready(losses["duel_11"])
-    best_dt = timed_loop(step_once, lambda l: l["duel_11"], args.steps)
+    times = timed_loop(step_once, lambda l: l["duel_11"], args.steps)
 
-    ups = float(umask.sum()) * args.steps / best_dt
     return {
         "metric": "utterances/sec/chip (fused 12-duel stage-A GAN step)",
-        "value": round(ups, 1),
-        "unit": "utterances/sec/chip",
-        "vs_baseline": round(ups / REFERENCE_V100_STAGE_A_UPS, 2),
+        **throughput_stats(
+            float(umask.sum()) * args.steps, times, REFERENCE_V100_STAGE_A_UPS
+        ),
     }
 
 
@@ -226,14 +249,13 @@ def bench_dialoguernn(args):
     for _ in range(args.warmup):
         loss = step_once()
     jax.block_until_ready(loss)
-    best_dt = timed_loop(step_once, lambda loss: loss, args.steps)
+    times = timed_loop(step_once, lambda loss: loss, args.steps)
 
-    ups = float(umask.sum()) * args.steps / best_dt
     return {
         "metric": "utterances/sec/chip (GAN_FFN_DialogueRNN train step)",
-        "value": round(ups, 1),
-        "unit": "utterances/sec/chip",
-        "vs_baseline": round(ups / REFERENCE_V100_DIALOGUERNN_UPS, 2),
+        **throughput_stats(
+            float(umask.sum()) * args.steps, times, REFERENCE_V100_DIALOGUERNN_UPS
+        ),
     }
 
 

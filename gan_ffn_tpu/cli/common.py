@@ -114,8 +114,13 @@ def train_gan(
     return state, history
 
 
-def make_gan_ffn_apply_fns(model):
-    """(apply_train, apply_eval) for the GAN_FFN flagship classifier."""
+def make_gan_ffn_apply_fns(model, eval_attentions: bool = False):
+    """(apply_train, apply_eval) for the GAN_FFN flagship classifier.
+
+    With ``eval_attentions``, ``apply_eval`` returns ``(log_prob, attn)``
+    for ``make_classifier_steps(..., eval_attentions=True)`` — GAN_FFN's
+    alphas are empty (model.py:1458-1461), so the dict mirrors the
+    reference's empty accumulation on this model."""
 
     def apply_train(params, rng, batch):
         return model.apply(
@@ -126,11 +131,14 @@ def make_gan_ffn_apply_fns(model):
         )[0]
 
     def apply_eval(params, batch):
-        return model.apply(
+        out = model.apply(
             {"params": params},
             batch["audio"], batch["visual"], batch["text"],
             valid_len=batch["valid_len"], deterministic=True,
-        )[0]
+        )
+        if eval_attentions:
+            return out[0], {"alpha": out[1], "alpha_f": out[2], "alpha_b": out[3]}
+        return out[0]
 
     return apply_train, apply_eval
 

@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention", action="store_true", default=False,
                    help="use attention on top of lstm (compat; unused by GAN_FFN)")
     p.add_argument("--tensorboard", action="store_true", default=False, help="enables tensorboard log")
+    p.add_argument("--tb-grad-histograms", choices=("epoch", "batch"), default="epoch",
+                   help="gradient-histogram cadence under --tensorboard: 'epoch' samples "
+                        "one batch per epoch (async-friendly); 'batch' logs every "
+                        "parameter every batch like the reference "
+                        "(train_IEMOCAP.py:166-168) at the cost of a second backward "
+                        "pass and a device sync per batch")
     p.add_argument("--use-trained-GAN", action="store_true", default=False, help="use trained GAN")
     p.add_argument("--continue-train-GAN-step", type=int, default=5, metavar="E",
                    help="continue training from saved GAN models")
@@ -178,10 +184,11 @@ def main(argv=None) -> dict:
 
     loss_weights = jnp.asarray(IEMOCAP_LOSS_WEIGHTS) if args.class_weight else None
     optimizer = torch_adam(args.lr, weight_decay=args.l2)
-    apply_train, apply_eval = make_gan_ffn_apply_fns(model)
+    apply_train, apply_eval = make_gan_ffn_apply_fns(model, eval_attentions=True)
     train_step, eval_step = make_classifier_steps(
         apply_train, apply_eval, optimizer, n_classes, loss_weights,
         aot_cache=True,  # fresh processes skip the compile (utils/aot.py)
+        eval_attentions=True,
     )
     state = init_classifier_state(params, optimizer)
     if args.tensorboard:
@@ -201,21 +208,37 @@ def main(argv=None) -> dict:
         from ..utils.profiling import trace
 
         lr_scale = float(0.98**e) if args.lr_schedule == "decay" else None
+        on_batch = None
+        if writer.enabled and args.tb_grad_histograms == "batch":
+            # reference cadence: every parameter's grad histogram EVERY batch,
+            # tagged with the epoch step (train_IEMOCAP.py:166-168)
+            rng, gkey = jax.random.split(rng)
+
+            def on_batch(i, st, arrays, _e=e, _k=gkey):
+                writer.add_param_histograms(
+                    grad_fn(st["params"], jax.random.fold_in(_k, i), arrays), _e
+                )
+
         with trace(args.profile if e == 1 else None):  # epoch 1: post-compile
             state, train_res = run_epoch(
-                train_loader, state, train_step=train_step, rng=sub, lr_scale=lr_scale
+                train_loader, state, train_step=train_step, rng=sub,
+                lr_scale=lr_scale, on_batch=on_batch,
             )
         valid_res = run_epoch(valid_loader, state["params"], eval_step=eval_step)
         test_res = run_epoch(test_loader, state["params"], eval_step=eval_step)
 
-        if writer.enabled:
-            # per-parameter gradient histograms (reference logs these every
-            # batch, train_IEMOCAP.py:166-168; sampled once per epoch here)
+        if writer.enabled and args.tb_grad_histograms == "epoch":
+            # per-parameter gradient histograms sampled once per epoch (the
+            # async-friendly default; --tb-grad-histograms batch matches the
+            # reference's per-batch cadence)
             rng, gsub = jax.random.split(rng)
             writer.add_param_histograms(grad_fn(state["params"], gsub, sample), e)
 
         if best is None or best[0] > test_res.avg_loss:
             best = (test_res.avg_loss, test_res.labels, test_res.preds, test_res.masks)
+            # best epoch's eval attentions (reference best_attn,
+            # train_IEMOCAP.py:693-700; empty alphas for GAN_FFN)
+            best_attn = test_res.attentions
             # device-side copy: the live buffers get donated by the next step
             best_params = jax.tree.map(jnp.copy, state["params"])
 
@@ -261,6 +284,7 @@ def main(argv=None) -> dict:
             * 100, 2,
         ),
         "report_path": path,
+        "attentions": best_attn,
     }
 
 

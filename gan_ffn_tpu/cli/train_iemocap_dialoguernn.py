@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--class-weight", action="store_true", default=True)
     p.add_argument("--active-listener", action="store_true", default=False)
     p.add_argument("--tensorboard", action="store_true", default=False)
+    p.add_argument("--tb-grad-histograms", choices=("epoch", "batch"), default="epoch",
+                   help="gradient-histogram cadence under --tensorboard: 'epoch' samples "
+                        "one batch per epoch; 'batch' matches the reference's "
+                        "per-batch logging (train_IEMOCAP_DialogueRNN.py:167-169) at "
+                        "the cost of a second backward pass and a sync per batch")
     p.add_argument("--use-trained-GAN", action="store_true", default=True)
     p.add_argument("--fresh-GAN", dest="use_trained_GAN", action="store_false",
                    help="train the GAN from scratch instead of loading")
@@ -150,12 +155,16 @@ def main(argv=None) -> dict:
     print("Number of parameter: %.2fM" % (param_count(params) / 1e6))
 
     def apply_eval(p, batch):
-        return model_eval.apply(
+        # (log_prob, attn): BiModel's att2 alpha (L, B, L) + per-direction
+        # alphas — the reference's eval-epoch accumulation
+        # (train_IEMOCAP_DialogueRNN.py:173-176)
+        out = model_eval.apply(
             {"params": p},
             batch["audio"], batch["visual"], batch["text"],
             batch["qmask"], batch["umask"],
             valid_len=batch["valid_len"],
-        )[0]
+        )
+        return out[0], {"alpha": out[1], "alpha_f": out[2], "alpha_b": out[3]}
 
     def apply_train(p, rng, batch):
         return model_train.apply(
@@ -170,6 +179,7 @@ def main(argv=None) -> dict:
     train_step, eval_step = make_classifier_steps(
         apply_train, apply_eval, optimizer, n_classes, loss_weights,
         aot_cache=True,  # the deep recurrent program costs ~215 s to compile
+        eval_attentions=True,
     )
     state = init_classifier_state(params, optimizer)
 
@@ -187,22 +197,38 @@ def main(argv=None) -> dict:
         start_time = time.time()
         rng, sub = jax.random.split(rng)
         lr_scale = float(0.98**e) if args.lr_schedule == "decay" else None
+        on_batch = None
+        if writer.enabled and args.tb_grad_histograms == "batch":
+            # reference cadence: per-parameter grad histograms every batch
+            # (train_IEMOCAP_DialogueRNN.py:167-169)
+            rng, gkey = jax.random.split(rng)
+
+            def on_batch(i, st, arrays, _e=e, _k=gkey):
+                writer.add_param_histograms(
+                    grad_fn(st["params"], jax.random.fold_in(_k, i), arrays), _e
+                )
+
         state, train_res = run_epoch(
-            train_loader, state, train_step=train_step, rng=sub, lr_scale=lr_scale
+            train_loader, state, train_step=train_step, rng=sub,
+            lr_scale=lr_scale, on_batch=on_batch,
         )
         valid_res = run_epoch(valid_loader, state["params"], eval_step=eval_step)
         test_res = run_epoch(test_loader, state["params"], eval_step=eval_step)
         if best is None or best[0] > test_res.avg_loss:
             best = (test_res.avg_loss, test_res.labels, test_res.preds, test_res.masks)
+            # best epoch's att2/directional attention weights (reference
+            # best_attn, train_IEMOCAP_DialogueRNN.py:775-784)
+            best_attn = test_res.attentions
             # device-side copy: live buffers get donated by the next step
             best_params = jax.tree.map(jnp.copy, state["params"])
         if writer.enabled:
-            # reference scalar tags (train_IEMOCAP_DialogueRNN.py:787-789) +
-            # per-parameter grad histograms (167-169), sampled per epoch
+            # reference scalar tags (train_IEMOCAP_DialogueRNN.py:787-789)
             writer.add_scalar("test: accuracy/loss", test_res.avg_accuracy / test_res.avg_loss, e)
             writer.add_scalar("train: accuracy/loss", train_res.avg_accuracy / train_res.avg_loss, e)
-            rng, gsub = jax.random.split(rng)
-            writer.add_param_histograms(grad_fn(state["params"], gsub, sample), e)
+            if args.tb_grad_histograms == "epoch":
+                # per-parameter grad histograms (167-169), sampled per epoch
+                rng, gsub = jax.random.split(rng)
+                writer.add_param_histograms(grad_fn(state["params"], gsub, sample), e)
         elapsed = round(time.time() - start_time, 2)
         print(
             "epoch {} train_loss {} train_acc {} train_fscore {} valid_loss {} "
@@ -230,7 +256,7 @@ def main(argv=None) -> dict:
     print("Loss {} F1-score {}".format(best_loss, final_f1))
     print(classification_report(best_label, best_pred, sample_weight=best_mask, digits=4))
     print(confusion_matrix(best_label, best_pred, sample_weight=best_mask))
-    return {"best_loss": best_loss, "f1": final_f1}
+    return {"best_loss": best_loss, "f1": final_f1, "attentions": best_attn}
 
 
 if __name__ == "__main__":

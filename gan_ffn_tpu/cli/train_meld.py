@@ -34,10 +34,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=50, metavar="E")
     p.add_argument("--attention", action="store_true", default=True)
     p.add_argument("--tensorboard", action="store_true", default=False)
+    p.add_argument("--tb-grad-histograms", choices=("epoch", "batch"), default="epoch",
+                   help="gradient-histogram cadence under --tensorboard: 'epoch' samples "
+                        "one batch per epoch; 'batch' matches the reference's per-batch "
+                        "logging (train_MELD.py:83-85) at the cost of a second backward "
+                        "pass and a sync per batch")
     p.add_argument("--classify", default="emotion", help="emotion or sentiment")
     # framework additions
     p.add_argument("--data-path", default="data/meld/MELD_features_raw.pkl")
     p.add_argument("--synthetic", action="store_true", default=False)
+    p.add_argument("--synthetic-train", type=int, default=80,
+                   help="synthetic fixture train dialogues")
+    p.add_argument("--synthetic-test", type=int, default=20)
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=3407)
     return p
@@ -52,7 +60,10 @@ def main(argv=None) -> dict:
     print(f"Running on {wait_for_device()[0].platform}")
 
     if args.synthetic and not os.path.exists(args.data_path):
-        write_synthetic_meld(args.data_path, seed=args.seed)
+        write_synthetic_meld(
+            args.data_path, n_train=args.synthetic_train,
+            n_test=args.synthetic_test, seed=args.seed,
+        )
         print(f"wrote synthetic features to {args.data_path}")
 
     n_classes = 7 if args.classify == "emotion" else 3
@@ -82,15 +93,20 @@ def main(argv=None) -> dict:
         )[0]
 
     def apply_eval(p, batch):
-        return model.apply(
+        # (log_prob, attn): MELDLSTMModel's per-timestep MatchingAttention
+        # alpha (L, B, L); the reference accumulates it on eval epochs
+        # (train_MELD.py:90-93)
+        out = model.apply(
             {"params": p}, batch["text"], batch["qmask"], batch["umask"],
             deterministic=True,
-        )[0]
+        )
+        return out[0], {"alpha": out[1]}
 
     optimizer = torch_adam(args.lr, weight_decay=args.l2)
     train_step, eval_step = make_classifier_steps(
         apply_train, apply_eval, optimizer, n_classes, loss_weights=None,
         aot_cache=True,
+        eval_attentions=True,
     )
     state = init_classifier_state(params, optimizer)
 
@@ -107,8 +123,20 @@ def main(argv=None) -> dict:
     for e in range(args.epochs):
         start_time = time.time()
         rng, sub = jax.random.split(rng)
+        on_batch = None
+        if writer.enabled and args.tb_grad_histograms == "batch":
+            # reference cadence: per-parameter grad histograms every batch
+            # (train_MELD.py:83-85)
+            rng, gkey = jax.random.split(rng)
+
+            def on_batch(i, st, arrays, _e=e, _k=gkey):
+                writer.add_param_histograms(
+                    grad_fn(st["params"], jax.random.fold_in(_k, i), arrays), _e
+                )
+
         state, train_res = run_epoch(
-            train_loader, state, train_step=train_step, rng=sub, with_visual=False
+            train_loader, state, train_step=train_step, rng=sub, with_visual=False,
+            on_batch=on_batch,
         )
         valid_res = run_epoch(
             valid_loader, state["params"], eval_step=eval_step, with_visual=False
@@ -117,17 +145,20 @@ def main(argv=None) -> dict:
             test_loader, state["params"], eval_step=eval_step, with_visual=False
         )
         if writer.enabled:
-            # reference scalar tags (train_MELD.py:179-181) + grad histograms
-            # (train_MELD.py:83-85), sampled per epoch
+            # reference scalar tags (train_MELD.py:179-181)
             writer.add_scalar("test: accuracy/loss", test_res.avg_accuracy / test_res.avg_loss, e)
             writer.add_scalar("train: accuracy/loss", train_res.avg_accuracy / train_res.avg_loss, e)
-            rng, gsub = jax.random.split(rng)
-            writer.add_param_histograms(grad_fn(state["params"], gsub, sample), e)
+            if args.tb_grad_histograms == "epoch":
+                # grad histograms (train_MELD.py:83-85), sampled per epoch
+                rng, gsub = jax.random.split(rng)
+                writer.add_param_histograms(grad_fn(state["params"], gsub, sample), e)
         if best is None or best[0] < test_res.avg_fscore:
             best = (
                 test_res.avg_fscore, test_res.avg_loss,
                 test_res.labels, test_res.preds, test_res.masks,
             )
+            # best epoch's attention weights (reference best_attn, train_MELD.py:175-178)
+            best_attn = test_res.attentions
             best_params = jax.tree.map(jnp.copy, state["params"])
         print(
             "epoch {} train_loss {} train_acc {} train_fscore {} valid_loss {} "
@@ -165,7 +196,7 @@ def main(argv=None) -> dict:
     )
     print(classification_report(best_label, best_pred, sample_weight=best_mask, digits=4))
     print(confusion_matrix(best_label, best_pred, sample_weight=best_mask))
-    return {"best_loss": best_loss, "f1": best_fscore}
+    return {"best_loss": best_loss, "f1": best_fscore, "attentions": best_attn}
 
 
 if __name__ == "__main__":

@@ -72,6 +72,7 @@ def make_classifier_steps(
     n_classes: int,
     loss_weights: Optional[jnp.ndarray] = None,
     aot_cache: bool = False,
+    eval_attentions: bool = False,
 ):
     """Build (train_step, eval_step).
 
@@ -81,6 +82,14 @@ def make_classifier_steps(
     Both steps return ``(loss, preds (B*L,))``; labels/masks stay on host in
     the epoch loop. Loss/pred flattening matches the reference: log-probs are
     transposed batch-first then flattened (train_IEMOCAP.py:154-158).
+
+    ``eval_attentions=True`` declares that ``apply_eval`` returns
+    ``(log_prob, attn)`` where ``attn`` is any pytree of attention weights
+    (e.g. ``{"alpha": (L, B, L), "alpha_f": ..., "alpha_b": ...}``); the eval
+    step then returns ``(loss, preds, attn)`` and the epoch loop surfaces the
+    weights in ``EpochResult.attentions`` — the interpretability surface the
+    reference accumulates on eval epochs (train_IEMOCAP.py:120,172-174,196).
+    Train epochs are unaffected (no extra outputs or syncs).
 
     ``aot_cache=True`` routes both steps through the on-disk executable cache
     (utils/aot.py): fresh processes skip the compile (single-chip topologies;
@@ -109,9 +118,18 @@ def make_classifier_steps(
         params = optax.apply_updates(state["params"], updates)
         return {"params": params, "opt": opt}, loss, preds
 
-    def eval_step(params, batch):
-        log_prob = apply_eval(params, batch)
-        return loss_and_preds(log_prob, batch)
+    if eval_attentions:
+
+        def eval_step(params, batch):
+            log_prob, attn = apply_eval(params, batch)
+            loss, preds = loss_and_preds(log_prob, batch)
+            return loss, preds, attn
+
+    else:
+
+        def eval_step(params, batch):
+            log_prob = apply_eval(params, batch)
+            return loss_and_preds(log_prob, batch)
 
     if aot_cache:
         from ..utils.aot import ShapeDispatchingAOT

@@ -72,6 +72,14 @@ class EpochResult:
     preds: np.ndarray
     masks: np.ndarray
     avg_fscore: float
+    # Eval-epoch attention weights, populated when the eval step was built
+    # with ``eval_attentions=True`` (the reference's 7th return,
+    # ``attentions = [alphas, alphas_f, alphas_b, vids]``,
+    # train_IEMOCAP.py:120,172-174,196): a dict mapping each attention key
+    # (e.g. "alpha" (L, B, L) for DialogueRNN/MELD att2; empty for GAN_FFN)
+    # to a list of per-batch arrays, plus "vids" — the dialogue ids, batch
+    # order. None on train epochs and attention-less eval steps.
+    attentions: Optional[Dict[str, list]] = None
 
 
 def run_epoch(
@@ -82,10 +90,17 @@ def run_epoch(
     rng: Optional[jax.Array] = None,
     with_visual: bool = True,
     lr_scale: Optional[float] = None,
+    on_batch: Optional[Callable] = None,
 ):
     """Run one epoch. With ``train_step`` set, trains (threading state through
     steps) and returns (state, EpochResult); otherwise evaluates with
     ``eval_step`` and returns EpochResult.
+
+    ``on_batch(batch_index, state, arrays)`` is invoked after every train
+    step — the hook behind per-batch observability (the reference's
+    ``--tensorboard`` per-batch grad histograms, train_IEMOCAP.py:166-168).
+    A hook that fetches device values forces a per-batch sync, giving up this
+    loop's async dispatch; that is the documented cost of per-batch cadence.
     """
     # Device values are accumulated WITHOUT per-batch host syncs (the
     # reference forces a device->host transfer after every batch,
@@ -93,6 +108,8 @@ def run_epoch(
     # epoch end, so step dispatch stays fully asynchronous.
     dev_losses: List = []
     dev_preds: List = []
+    dev_attns: List = []  # per-batch attention pytrees (eval only)
+    all_vids: List = []
     batch_mask_sums: List[float] = []
     all_labels: List[np.ndarray] = []
     all_masks: List[np.ndarray] = []
@@ -105,8 +122,16 @@ def run_epoch(
                 state, loss, preds = train_step(state, sub, arrays)
             else:
                 state, loss, preds = train_step(state, sub, arrays, lr_scale)
+            if on_batch is not None:
+                on_batch(n_batches, state, arrays)
         else:
-            loss, preds = eval_step(state, arrays)
+            out = eval_step(state, arrays)
+            if len(out) == 3:  # eval_attentions step: (loss, preds, attn)
+                loss, preds, attn = out
+                dev_attns.append(attn)
+                all_vids.append(list(batch.vids))
+            else:
+                loss, preds = out
         mask_flat = batch.umask.reshape(-1)
         dev_losses.append(loss)
         dev_preds.append(preds)
@@ -119,15 +144,26 @@ def run_epoch(
         empty = EpochResult(float("nan"), float("nan"), np.array([]), np.array([]), np.array([]), float("nan"))
         return (state, empty) if train_step is not None else empty
 
-    fetched = jax.device_get((dev_losses, dev_preds))
+    # one host transfer for the whole epoch (attentions included)
+    fetched = jax.device_get((dev_losses, dev_preds, dev_attns))
     losses = [
         float(l) * s for l, s in zip(fetched[0], batch_mask_sums)
     ]
     preds = np.concatenate([np.asarray(p) for p in fetched[1]])
     labels = np.concatenate(all_labels)
     masks = np.concatenate(all_masks)
+    attentions = None
+    if fetched[2]:
+        attentions = {"vids": all_vids}
+        for key in fetched[2][0]:
+            per_batch = [
+                np.asarray(a[key])
+                for a in fetched[2]
+                if a[key] is not None and np.size(a[key])
+            ]
+            attentions[key] = per_batch
     avg_loss = round(float(np.sum(losses) / np.sum(masks)), 4)
     avg_acc = round(accuracy_score(labels, preds, sample_weight=masks) * 100, 2)
     avg_f1 = round(f1_score(labels, preds, sample_weight=masks, average="weighted") * 100, 2)
-    result = EpochResult(avg_loss, avg_acc, labels, preds, masks, avg_f1)
+    result = EpochResult(avg_loss, avg_acc, labels, preds, masks, avg_f1, attentions)
     return (state, result) if train_step is not None else result

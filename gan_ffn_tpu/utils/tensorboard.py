@@ -3,10 +3,11 @@ train_IEMOCAP.py:508-511, 702-704).
 
 The reference logs ``test: accuracy/loss`` and ``train: accuracy/loss``
 scalars per epoch plus per-parameter gradient histograms EVERY BATCH
-(train_IEMOCAP.py:166-168) — a forced device sync per step. Capability is
-matched with per-epoch granularity: ``add_param_histograms`` writes one
-histogram per parameter from a single sampled batch's gradients (see
-``train.classifier.make_grad_fn``), keeping step dispatch asynchronous.
+(train_IEMOCAP.py:166-168) — a forced device sync per step. The CLIs default
+to per-epoch granularity (``add_param_histograms`` on one sampled batch's
+gradients, see ``train.classifier.make_grad_fn``, keeping step dispatch
+asynchronous) and offer ``--tb-grad-histograms batch`` to match the
+reference's per-batch cadence via the epoch loop's ``on_batch`` hook.
 Uses ``torch.utils.tensorboard`` when available; silently no-ops otherwise.
 """
 

@@ -72,3 +72,39 @@ def test_train_meld_cli(run_dir):
     res = main(["--epochs", "2", "--synthetic", "--batch-size", "8"])
     assert np.isfinite(res["best_loss"])
     assert res["f1"] >= 0
+    # best epoch's attention weights surfaced (reference's eval-epoch alphas,
+    # train_MELD.py:90-93): one (L, B, L) array per test batch
+    attn = res["attentions"]
+    assert attn is not None and len(attn["alpha"]) >= 1
+    a0 = attn["alpha"][0]
+    assert a0.ndim == 3 and a0.shape[0] == a0.shape[2]  # (L, B, L)
+    assert len(attn["vids"][0]) >= 1
+
+
+@pytest.mark.parametrize("cadence", ["epoch", "batch"])
+def test_tb_grad_histogram_cadence(run_dir, cadence):
+    """--tb-grad-histograms {epoch,batch}: per-epoch sampling writes one
+    histogram set per epoch; 'batch' matches the reference's per-batch
+    logging (train_MELD.py:83-85) — more histogram events per tag."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from tensorboard.backend.event_processing import event_accumulator
+
+    from gan_ffn_tpu.cli.train_meld import main
+
+    epochs, batch_size = 2, 4  # 16 train dialogues / 4 => 4 batches/epoch
+    res = main(["--epochs", str(epochs), "--synthetic", "--batch-size",
+                str(batch_size), "--synthetic-train", "16", "--synthetic-test", "4",
+                "--tensorboard", "--tb-grad-histograms", cadence])
+    assert np.isfinite(res["best_loss"])
+    acc = event_accumulator.EventAccumulator(
+        "./tensorboard", size_guidance={event_accumulator.HISTOGRAMS: 0}
+    )
+    acc.Reload()
+    tags = acc.Tags()["histograms"]
+    assert any("lstm" in t for t in tags)
+    n_events = len(acc.Histograms(tags[0]))
+    if cadence == "epoch":
+        assert n_events == epochs
+    else:
+        assert n_events == epochs * 4  # every batch, like the reference
+    assert "test: accuracy/loss" in acc.Tags()["scalars"]

@@ -184,6 +184,94 @@ def test_lr_schedule_decay_scales_updates():
         )
 
 
+def test_eval_attentions_surfaced_in_epoch_result():
+    """eval_attentions=True plumbs the model's attention weights through the
+    eval step into EpochResult.attentions (the reference's 7th return,
+    train_IEMOCAP.py:172-174,196): (L, B, L) att2 alphas for the MELD/
+    DialogueRNN family, empty for GAN_FFN, vids captured; train epochs stay
+    attention-free."""
+    from gan_ffn_tpu.data.loaders import Batch
+    from gan_ffn_tpu.models.baselines import MELDLSTMModel
+    from gan_ffn_tpu.train.loop import run_epoch
+
+    Lm, Bm, Dm = 7, 3, 12
+    rng = np.random.default_rng(4)
+    batch = Batch(
+        text=rng.normal(size=(Lm, Bm, Dm)).astype(np.float32),
+        audio=rng.normal(size=(Lm, Bm, Dm)).astype(np.float32),
+        qmask=np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=(Lm, Bm))],
+        umask=np.ones((Bm, Lm), dtype=np.float32),
+        label=rng.integers(0, 7, size=(Bm, Lm)),
+        vids=["dia0", "dia1", "dia2"],
+        visual=None,
+        n_real=Bm,
+    )
+    model = MELDLSTMModel(D_m=Dm, D_e=8, D_h=8, n_classes=7)
+    arrays = batch_to_arrays(batch, with_visual=False)
+    params = model.init(
+        jax.random.PRNGKey(0), arrays["text"], arrays["qmask"], arrays["umask"]
+    )["params"]
+
+    def apply_eval(p, b):
+        out = model.apply(
+            {"params": p}, b["text"], b["qmask"], b["umask"], deterministic=True
+        )
+        return out[0], {"alpha": out[1], "alpha_f": out[2], "alpha_b": out[3]}
+
+    def apply_train(p, r, b):
+        return model.apply(
+            {"params": p}, b["text"], b["qmask"], b["umask"],
+            deterministic=False, rngs={"dropout": r},
+        )[0]
+
+    opt = torch_adam(1e-3)
+    train_step, eval_step = make_classifier_steps(
+        apply_train, apply_eval, opt, 7, eval_attentions=True
+    )
+    res = run_epoch([batch], params, eval_step=eval_step, with_visual=False)
+    assert res.attentions is not None
+    assert len(res.attentions["alpha"]) == 1
+    assert res.attentions["alpha"][0].shape == (Lm, Bm, Lm)
+    assert res.attentions["alpha_f"] == []  # MELD model has no directional alphas
+    assert res.attentions["vids"] == [["dia0", "dia1", "dia2"]]
+    # attention rows are softmax distributions over the sequence
+    np.testing.assert_allclose(
+        res.attentions["alpha"][0].sum(-1), np.ones((Lm, Bm)), rtol=1e-5
+    )
+
+    # train epochs carry no attentions (no extra outputs/syncs)
+    state = init_classifier_state(params, opt)
+    state, tr = run_epoch(
+        [batch], state, train_step=train_step, rng=jax.random.PRNGKey(1),
+        with_visual=False,
+    )
+    assert tr.attentions is None
+
+    # GAN_FFN: alphas are empty, the dict still carries vids
+    from gan_ffn_tpu.cli.common import make_gan_ffn_apply_fns
+
+    gbatch = Batch(
+        text=rng.normal(size=(Lm, Bm, 100)).astype(np.float32),
+        audio=rng.normal(size=(Lm, Bm, 100)).astype(np.float32),
+        qmask=np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=(Lm, Bm))],
+        umask=np.ones((Bm, Lm), dtype=np.float32),
+        label=rng.integers(0, 6, size=(Bm, Lm)),
+        vids=["g0", "g1", "g2"],
+        visual=rng.normal(size=(Lm, Bm, 512)).astype(np.float32),
+        n_real=Bm,
+    )
+    gmodel = GAN_FFN(n_classes=6, gen_num_layers=1)
+    garrays = batch_to_arrays(gbatch)
+    gparams = gmodel.init(
+        jax.random.PRNGKey(2), garrays["audio"], garrays["visual"], garrays["text"]
+    )["params"]
+    gtrain, geval = make_gan_ffn_apply_fns(gmodel, eval_attentions=True)
+    _, geval_step = make_classifier_steps(gtrain, geval, opt, 6, eval_attentions=True)
+    gres = run_epoch([gbatch], gparams, eval_step=geval_step)
+    assert gres.attentions["alpha"] == []
+    assert gres.attentions["vids"] == [["g0", "g1", "g2"]]
+
+
 def test_lambdalr_quirk_effective_lr_is_base_lr_torch_oracle():
     """Torch oracle pinning the reference's per-batch LambdaLR re-creation
     quirk (train_IEMOCAP.py:129-133,170): a FRESH ``LambdaLR(0.98**epoch)``
