@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--model-save-path", default="./GAN_save/")
     p.add_argument("--num-layers", type=int, default=8, help="transformer encoder depth")
+    p.add_argument("--gan-schedule", choices=("fused", "stepwise"), default="fused",
+                   help="stage-A compilation strategy: 'fused' compiles the whole "
+                        "12-duel schedule into one program (fast steps, long first "
+                        "compile); 'stepwise' jits the 12 duels separately (fast "
+                        "compiles — the right choice for CPU-hosted runs)")
     p.add_argument("--dp", action="store_true", default=False,
                    help="shard the stage-A GAN batch over all local devices (mesh "
                         "data parallelism; the TPU-native form of the reference's "
@@ -113,7 +118,7 @@ def main(argv=None) -> dict:
     n_classes = 6
     gan_cfg = GANConfig(
         num_layers=args.num_layers, lr=0.0001, b1=0.5, b2=0.6, dtype=dtype,
-        seed=args.seed,
+        seed=args.seed, fused_schedule=(args.gan_schedule == "fused"),
     )
 
     # Stage A loaders (reference train_GAN builds its own with valid=0.1,

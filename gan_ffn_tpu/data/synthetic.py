@@ -73,6 +73,7 @@ def write_synthetic_iemocap(
     class_spread: float = 2.0,
     noise: float = 1.0,
     persistence: float = 0.5,
+    label_noise: float = 0.0,
 ) -> str:
     """Write a synthetic IEMOCAP-schema feature pickle and return ``path``.
 
@@ -81,6 +82,13 @@ def write_synthetic_iemocap(
     class-conditional Gaussians sharing per-class means across modalities, so
     the fused space is learnable; labels carry turn-to-turn persistence so
     dialogue-context models have exploitable temporal structure.
+
+    ``label_noise`` flips each OBSERVED label to a different class with the
+    given probability (features stay conditioned on the true label). This
+    bounds the achievable accuracy at ~``1 - label_noise`` and makes the
+    fixture non-trivially separable — the regime the full-pipeline quality
+    A/B (scripts/ab_full_pipeline.py) runs in, where a final F1 of 100 would
+    prove nothing.
     """
     rng = np.random.default_rng(seed)
     dims = IEMOCAP_DIMS
@@ -96,7 +104,15 @@ def write_synthetic_iemocap(
         speakers = ["M" if s else "F" for s in rng.integers(0, 2, size=L)]
         videoIDs[vid] = [f"{vid}_utt{t}" for t in range(L)]
         videoSpeakers[vid] = speakers
-        videoLabels[vid] = labels.tolist()
+        observed = labels.copy()
+        if label_noise > 0.0:
+            flip = rng.random(L) < label_noise
+            # flip to a uniformly-drawn DIFFERENT class
+            observed[flip] = (
+                labels[flip]
+                + rng.integers(1, IEMOCAP_N_CLASSES, size=int(flip.sum()))
+            ) % IEMOCAP_N_CLASSES
+        videoLabels[vid] = observed.tolist()
         videoText[vid] = (means["text"][labels] + rng.normal(0, noise, (L, dims["text"]))).astype(
             np.float32
         )

@@ -132,6 +132,7 @@ def test_aot_donation():
     np.testing.assert_array_equal(np.asarray(state2["v"]), 2 * np.ones((16, 16)))
 
 
+@pytest.mark.slow
 def test_classifier_steps_aot_matches_jit(tmp_path, monkeypatch):
     """make_classifier_steps(aot_cache=True) is numerically identical to the
     plain-jit path, for both the 3-arg call and the 4-arg lr_scale call

@@ -46,6 +46,7 @@ def test_gru_parity_with_torch():
     np.testing.assert_allclose(np.asarray(h_n), h_t.detach().numpy(), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lstm_model2_shapes():
     m = LSTMModel2(D_m=20, D_e=8, D_h=12, n_classes=6, attention=True)
     U = _x((L, B, 20))
@@ -56,6 +57,7 @@ def test_lstm_model2_shapes():
     assert np.isfinite(np.asarray(log_prob)).all()
 
 
+@pytest.mark.slow
 def test_lstm_model_shapes():
     m = LSTMModel(D_m=100, D_e=100, D_h=100, n_classes=6)
     t, a, v = _x((L, B, 100)), _x((L, B, 100), 1), _x((L, B, 512), 2)
@@ -82,6 +84,7 @@ def test_fully_connection_shapes():
     assert y.shape == (L, B, 2048)
 
 
+@pytest.mark.slow
 def test_emoformer_shapes():
     m = Emoformer(D_m=100, D_e=30, n_classes=6, attention=False)
     t, a, v = _x((L, B, 100)), _x((L, B, 100), 1), _x((L, B, 512), 2)
@@ -92,6 +95,7 @@ def test_emoformer_shapes():
     assert np.isfinite(np.asarray(log_prob)).all()
 
 
+@pytest.mark.slow
 def test_e2e_lstm_model_shapes():
     m = E2ELSTMModel(D_e=8, D_h=12, vocab_size=50, embedding_dim=16, n_classes=6)
     tokens = jnp.asarray(np.random.default_rng(3).integers(0, 50, size=(L, B, 7)))
@@ -101,6 +105,7 @@ def test_e2e_lstm_model_shapes():
     assert log_prob.shape == (L, B, 6)
 
 
+@pytest.mark.slow
 def test_bi_e2e_model_shapes():
     m = BiE2EModel(
         D_emb=16, D_m=12, D_g=10, D_p=8, D_e=6, D_h=14, vocab_size=50, n_classes=7

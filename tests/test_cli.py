@@ -29,6 +29,7 @@ TINY = [
 ]
 
 
+@pytest.mark.slow
 def test_train_iemocap_cli_and_predict(run_dir):
     from gan_ffn_tpu.cli.train_iemocap import main
 
@@ -56,6 +57,7 @@ def test_train_iemocap_cli_and_predict(run_dir):
         rt.wait_for_device = orig
 
 
+@pytest.mark.slow
 def test_sweep_cli(run_dir):
     from gan_ffn_tpu.cli.sweep import main
 
@@ -66,6 +68,7 @@ def test_sweep_cli(run_dir):
     assert all(f.startswith("test_out_GAN-epochs=") for f in files)
 
 
+@pytest.mark.slow
 def test_train_meld_cli(run_dir):
     from gan_ffn_tpu.cli.train_meld import main
 
@@ -82,6 +85,7 @@ def test_train_meld_cli(run_dir):
 
 
 @pytest.mark.parametrize("cadence", ["epoch", "batch"])
+@pytest.mark.slow
 def test_tb_grad_histogram_cadence(run_dir, cadence):
     """--tb-grad-histograms {epoch,batch}: per-epoch sampling writes one
     histogram set per epoch; 'batch' matches the reference's per-batch

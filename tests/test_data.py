@@ -166,3 +166,98 @@ def test_avec_and_dailydialogue_loaders(tmp_path):
     b = next(iter(tr))
     assert b.tokens.shape[1] == 4 and b.tokens.shape[2] == 30
     assert sum(x.n_real for x in te) == 4
+
+
+def _dirty_iemocap_variant(src: str, dst: str, variant: str) -> None:
+    """Rewrite a clean fixture pickle the way OLD pandas/numpy wrote the real
+    IEMOCAP_features.pkl: float64 feature matrices, object-dtype arrays of
+    per-utterance rows, plain nested lists, numpy-scalar speaker tags, int64
+    label arrays. Values are bit-identical; only containers/dtypes change."""
+    import pickle
+
+    with open(src, "rb") as f:
+        (ids, spk, lab, text, audio, vis, sent, train, test) = pickle.load(f)
+
+    def feats(store):
+        if variant == "float64":
+            return {k: np.asarray(v, dtype=np.float64) for k, v in store.items()}
+        if variant == "object":
+            return {
+                k: np.array([np.asarray(row, dtype=np.float64) for row in v],
+                            dtype=object)
+                for k, v in store.items()
+            }
+        if variant == "lists":
+            return {k: np.asarray(v, dtype=np.float64).tolist() for k, v in store.items()}
+        raise AssertionError(variant)
+
+    spk = {k: np.array(v) for k, v in spk.items()}  # np.str_ 'M'/'F' tags
+    lab = {k: np.asarray(v, dtype=np.int64) for k, v in lab.items()}
+    payload = (ids, spk, lab, feats(text), feats(audio), feats(vis), sent,
+               list(map(str, train)), list(map(str, test)))
+    with open(dst, "wb") as f:
+        pickle.dump(payload, f)
+
+
+@pytest.mark.parametrize("variant", ["float64", "object", "lists"])
+def test_iemocap_dataset_tolerates_legacy_pickle_dtypes(
+    iemocap_pickle, tmp_path, variant
+):
+    """The real feature pickles were written by old pandas/numpy (the
+    reference loads them through pd.DataFrame iteration, dataloader.py:55-58):
+    object-dtype arrays, float64 features, numpy-str speakers, int64 labels.
+    Every variant must produce outputs identical to the clean-dtype path,
+    through the dataset AND the collate."""
+    dirty = str(tmp_path / f"dirty_{variant}.pkl")
+    _dirty_iemocap_variant(iemocap_pickle, dirty, variant)
+
+    clean_ds = IEMOCAPDataset(iemocap_pickle, train=True)
+    dirty_ds = IEMOCAPDataset(dirty, train=True)
+    assert len(clean_ds) == len(dirty_ds)
+    for i in range(len(clean_ds)):
+        a, b = clean_ds[i], dirty_ds[i]
+        assert str(a.vid) == str(b.vid)
+        for field in ("text", "audio", "visual", "qmask", "label"):
+            ga, gb = getattr(a, field), getattr(b, field)
+            assert gb.dtype == ga.dtype, field
+            np.testing.assert_array_equal(ga, gb, err_msg=f"{variant}:{field}")
+
+    items = [dirty_ds[i] for i in range(4)]
+    batch = collate(items, bucket_len=max(d.length for d in items), batch_size=4)
+    assert batch.text.dtype == np.float32
+    assert np.isfinite(batch.text).all()
+
+
+def test_meld_dataset_tolerates_legacy_pickle_dtypes(meld_pickle, tmp_path):
+    """MELD variant of the legacy-dtype robustness: str dialogue ids, float64
+    features as nested lists, speaker one-hots as list-of-lists, int64
+    labels."""
+    import pickle
+
+    with open(meld_pickle, "rb") as f:
+        (ids, spk, emo, text, audio, sent, train, test, senti) = pickle.load(f)
+    payload = (
+        {str(k): v for k, v in ids.items()},
+        {str(k): np.asarray(v, dtype=np.float64).tolist() for k, v in spk.items()},
+        {str(k): np.asarray(v, dtype=np.int64) for k, v in emo.items()},
+        {str(k): np.asarray(v, dtype=np.float64).tolist() for k, v in text.items()},
+        {str(k): np.asarray(v, dtype=np.float64) for k, v in audio.items()},
+        {str(k): v for k, v in sent.items()},
+        [str(v) for v in train],
+        [str(v) for v in test],
+        {str(k): list(map(int, v)) for k, v in senti.items()},
+    )
+    dirty = str(tmp_path / "dirty_meld.pkl")
+    with open(dirty, "wb") as f:
+        pickle.dump(payload, f)
+
+    for classify in ("emotion", "sentiment"):
+        clean_ds = MELDDataset(meld_pickle, classify=classify, train=True)
+        dirty_ds = MELDDataset(dirty, classify=classify, train=True)
+        assert len(clean_ds) == len(dirty_ds)
+        for i in range(len(clean_ds)):
+            a, b = clean_ds[i], dirty_ds[i]
+            for field in ("text", "audio", "qmask", "label"):
+                ga, gb = getattr(a, field), getattr(b, field)
+                assert gb.dtype == ga.dtype, field
+                np.testing.assert_array_equal(ga, gb, err_msg=field)

@@ -155,6 +155,7 @@ def test_dialogue_rnn_matches_numpy_step_oracle():
     np.testing.assert_allclose(np.asarray(e_got), expected, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bimodel_shapes_and_jit():
     D_m, D_g, D_p, D_e, D_hh, C = 10, 8, 6, 5, 7, 6
     m = BiModel(D_m, D_g, D_p, D_e, D_hh, n_classes=C, deterministic=True)
@@ -174,6 +175,7 @@ def test_bimodel_shapes_and_jit():
     assert alpha.shape == (L, B, L)
 
 
+@pytest.mark.slow
 def test_gan_ffn_dialoguernn_forward():
     m = GAN_FFN_DialogueRNN(n_classes=6, context_attention="general", deterministic=True)
     rng = np.random.default_rng(6)
@@ -196,6 +198,7 @@ def test_meld_lstm_model():
     assert np.isfinite(np.asarray(log_prob)).all()
 
 
+@pytest.mark.slow
 def test_gan_ffn_train_mode_dropout_active():
     """Two different dropout keys give different outputs in train mode."""
     m = GAN_FFN(n_classes=6)
@@ -206,6 +209,7 @@ def test_gan_ffn_train_mode_dropout_active():
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
 
 
+@pytest.mark.slow
 def test_bimodel_partial_batch_gradients_finite():
     """Regression: fully-padded dialogue columns must not produce NaN grads
     (the general2 renormalization's backward on all-masked rows)."""
@@ -239,6 +243,7 @@ def test_bimodel_partial_batch_gradients_finite():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_bf16_dialoguernn_and_meld_paths():
     """Regression: bf16 compute must thread consistently through the scan
     carries (history buffer, party/emotion states) and the LSTM layers."""

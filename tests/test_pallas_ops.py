@@ -151,6 +151,7 @@ def test_fused_attention_in_transformer_module():
     )
 
 
+@pytest.mark.slow
 def test_generator_grads_pallas_vs_xla():
     """Full-module gradient A/B: TextGenerator parameter grads with the Pallas
     fused-attention VJP (interpret mode) == the XLA attention path. Covers the

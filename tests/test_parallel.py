@@ -99,6 +99,7 @@ def test_dp_train_step_matches_single_device(cpu_devices):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gan_dp_step_matches_single_device(cpu_devices, tmp_path, monkeypatch):
     """The fused 12-duel stage-A step is numerically equivalent under mesh DP
     (the stage the reference wraps in nn.DataParallel and that DEGRADED its
@@ -144,6 +145,75 @@ def test_gan_dp_step_matches_single_device(cpu_devices, tmp_path, monkeypatch):
     assert any(p.suffix == ".jaxexec" for p in tmp_path.iterdir())
 
 
+@pytest.mark.slow
+def test_dp_train_step_matches_single_device_depth2(cpu_devices):
+    """DP equivalence holds at encoder depth >= 2 (the round-2 suite only
+    ever exercised num_layers=1; depth changes XLA's fusion/reduction
+    structure, so equivalence at depth 1 does not imply it at depth 8)."""
+    mesh = make_mesh(cpu_devices)
+    model = GAN_FFN(n_classes=6, gen_num_layers=2)
+    batch = _batch(3)
+    params = model.init(
+        jax.random.PRNGKey(21), batch["audio"], batch["visual"], batch["text"]
+    )["params"]
+    (train_step, eval_step), opt = _steps(model)
+
+    params_copy = jax.tree.map(lambda x: jnp.array(np.asarray(x)), params)
+    state1 = init_classifier_state(params, opt)
+    state1, loss1, _ = train_step(state1, jax.random.PRNGKey(8), batch)
+
+    state2 = init_classifier_state(replicate(params_copy, mesh), opt)
+    state2 = {"params": state2["params"], "opt": replicate(state2["opt"], mesh)}
+    state2, loss2, _ = train_step(state2, jax.random.PRNGKey(8), shard_batch(batch, mesh))
+
+    assert float(loss2) == pytest.approx(float(loss1), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(state1["params"]), jax.tree.leaves(state2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_gan_stepwise_dp_matches_single_device_partial_batch(cpu_devices):
+    """The per-duel schedule (fused_schedule=False) under a mesh, on a
+    PARTIAL final batch (n_real < batch_size) with padded timesteps
+    (valid_len < L): the masked BCE means must be computed globally under
+    sharding, so per-duel DP losses and the updated params match the
+    single-device step exactly. Covers the train/gan.py:203-221 constraint
+    path that the fused-program tests never touch."""
+    from gan_ffn_tpu.train.gan import GANConfig, LOGGED_LOSS_KEYS, init_gan_state, make_gan_train_step
+
+    cfg = GANConfig(num_layers=1, fused_schedule=False, aot_cache=False)
+    mesh = make_mesh(cpu_devices)
+    rng = np.random.default_rng(17)
+    gl, gb = 10, 8  # batch divisible by the 8 devices
+    batch = {
+        "text": jnp.asarray(rng.normal(size=(gl, gb, 100)).astype(np.float32)),
+        "visual": jnp.asarray(rng.normal(size=(gl, gb, 512)).astype(np.float32)),
+        "audio": jnp.asarray(rng.normal(size=(gl, gb, 100)).astype(np.float32)),
+        "valid_len": jnp.asarray(7, dtype=jnp.int32),  # padded timesteps
+        "n_real": jnp.asarray(5, dtype=jnp.int32),  # padding dialogue columns
+    }
+    state = init_gan_state(cfg, jax.random.PRNGKey(1))
+    state_copy = jax.tree.map(lambda x: jnp.array(np.asarray(x)), state)
+    key = jax.random.PRNGKey(23)
+
+    state1, losses1 = make_gan_train_step(cfg)(state, batch, key)
+    state2, losses2 = make_gan_train_step(cfg, mesh=mesh)(
+        replicate(state_copy, mesh), shard_batch(batch, mesh), key
+    )
+
+    for i in range(12):
+        assert float(losses2[f"duel_{i}"]) == pytest.approx(
+            float(losses1[f"duel_{i}"]), rel=1e-5
+        ), f"duel_{i}"
+    for k in LOGGED_LOSS_KEYS:
+        assert float(losses2[k]) == pytest.approx(float(losses1[k]), rel=1e-5), k
+    for a, b in zip(
+        jax.tree.leaves(state1["params"]), jax.tree.leaves(state2["params"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_multi_seed_sweep(cpu_devices):
     """8 seeds train in one vmapped step; different seeds diverge."""
     mesh = make_seed_mesh(cpu_devices)
@@ -167,6 +237,7 @@ def test_multi_seed_sweep(cpu_devices):
     assert preds.shape == (8, B * L)
 
 
+@pytest.mark.slow
 def test_grid_mesh_sweep_matches_seed_mesh(cpu_devices):
     """2 seeds x 4-way DP on the (seed, data) grid mesh produce the SAME
     per-seed losses and params as the pure 1-D seed mesh (data sharding is

@@ -279,6 +279,7 @@ def test_lstm_model2_full_parity():
     np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_lstm_model_full_parity():
     """LSTMModel incl. the reference's softmax-over-dim-0 Attention quirk."""
     import gan_ffn_tpu.models as M
@@ -590,6 +591,7 @@ def test_emoformer_attention_path_is_unrunnable():
 GRAD_RTOL, GRAD_ATOL = 2e-3, 1e-4
 
 
+@pytest.mark.slow
 def test_train_disc_gradient_parity():
     """Discriminator grads of one train_disc step (train_IEMOCAP.py:200-227)
     match torch autograd: BCE(real,1) + BCE(G(other).detach(), 0) halved,
@@ -666,6 +668,7 @@ def test_train_gen_gradient_parity():
     assert_tree_allclose(grads, want, rtol=GRAD_RTOL, atol=GRAD_ATOL)
 
 
+@pytest.mark.slow
 def test_classifier_step_gradient_parity():
     """GAN_FFN classifier grads (stage B, train_IEMOCAP.py:151-165) match
     torch autograd through all three generators + fusion head, with the
@@ -727,6 +730,7 @@ def test_classifier_step_gradient_parity():
     assert_tree_allclose(grads, want, rtol=GRAD_RTOL, atol=GRAD_ATOL)
 
 
+@pytest.mark.slow
 def test_bimodel_gradient_parity():
     """BiModel (DialogueRNN fwd + rev scans + att2) grads match torch
     autograd under a variable-length masked NLL — the definitive check that

@@ -68,6 +68,7 @@ def test_gan_state_init():
     assert "object" in state["params"]["visual_disc"]
 
 
+@pytest.mark.slow
 def test_gan_train_step_runs_and_updates():
     state = init_gan_state(CFG, jax.random.PRNGKey(0))
     step = make_gan_train_step(CFG)
@@ -85,6 +86,7 @@ def test_gan_train_step_runs_and_updates():
     assert np.isfinite(float(losses2["visual_G_loss"]))
 
 
+@pytest.mark.slow
 def test_logged_loss_overwrite_semantics():
     """Logged keys must equal the LAST duel writing them (reference dict
     overwrite, train_IEMOCAP.py:355-382)."""
@@ -126,6 +128,7 @@ def _make_gan_ffn_steps(model, loss_weights=None, lr=1e-3):
     return train_step, eval_step, opt
 
 
+@pytest.mark.slow
 def test_graft_and_classifier_step():
     gan_state = init_gan_state(CFG, jax.random.PRNGKey(0))
     model = GAN_FFN(n_classes=6, gen_num_layers=1)
@@ -184,6 +187,7 @@ def test_lr_schedule_decay_scales_updates():
         )
 
 
+@pytest.mark.slow
 def test_eval_attentions_surfaced_in_epoch_result():
     """eval_attentions=True plumbs the model's attention weights through the
     eval step into EpochResult.attentions (the reference's 7th return,
@@ -307,6 +311,7 @@ def test_lambdalr_quirk_effective_lr_is_base_lr_torch_oracle():
     assert deltas == pytest.approx([lr0] * 6)  # NOT lr0*0.98, NOT decaying
 
 
+@pytest.mark.slow
 def test_mini_end_to_end_iemocap_slice(iemocap_pickle):
     """GAN pre-train (1 epoch) -> graft -> classifier train (2 epochs) -> eval.
 
@@ -352,6 +357,7 @@ def test_mini_end_to_end_iemocap_slice(iemocap_pickle):
     assert len(test_res.labels) == len(test_res.preds) == len(test_res.masks)
 
 
+@pytest.mark.slow
 def test_training_determinism():
     """Same seeds => bit-identical losses and params across two fresh runs
     (the reference pins seed 3407 + cudnn-deterministic for the same purpose,
@@ -379,6 +385,7 @@ def test_training_determinism():
     np.testing.assert_array_equal(p1, p2)
 
 
+@pytest.mark.slow
 def test_gan_step_golden_values():
     """Golden regression pin: exact first-step duel losses on CPU f32 for a
     fixed seed/batch. Catches unintended semantic drift in the adversarial
@@ -408,6 +415,7 @@ def test_gan_step_golden_values():
         assert float(losses[k]) == pytest.approx(v, abs=2e-4), k
 
 
+@pytest.mark.slow
 def test_stage_a_loss_trajectory_band(iemocap_pickle):
     """Tolerance-banded training-dynamics regression for stage A: 15 epochs
     of the fused 12-duel schedule (1-layer nets) on the session fixture must

@@ -17,6 +17,7 @@ from gan_ffn_tpu.utils.artifacts import (
 from gan_ffn_tpu.utils.checkpoint import load_gan_state, save_gan_state
 
 
+@pytest.mark.slow
 def test_gan_checkpoint_roundtrip(tmp_path):
     cfg = GANConfig(num_layers=1)
     state = init_gan_state(cfg, jax.random.PRNGKey(0))
