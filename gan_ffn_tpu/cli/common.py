@@ -59,6 +59,7 @@ def train_gan(
     log: Callable[[str], None] = print,
     log_every_batch: bool = True,
     mesh=None,
+    step: Optional[Callable] = None,
 ) -> Tuple[GANState, LossHistory]:
     """Adversarial pre-training stage (reference train_GAN,
     train_IEMOCAP.py:255-393).
@@ -67,6 +68,12 @@ def train_gan(
     replicating the reference CSV cadence. With ``mesh``, the 12-duel step
     runs data-parallel over it (the stage the reference data-parallelizes
     with nn.DataParallel, train_IEMOCAP.py:588-593).
+
+    Callers that train in SEGMENTS (the sweep's snapshot-per-point loop,
+    resume-and-extend) must build the step once with
+    ``make_gan_train_step`` and pass it via ``step`` — a fresh step per
+    segment re-lowers and re-loads the cached multi-hundred-MB executables
+    on every call (~59 s/segment measured over the hosted tunnel).
     """
     if state is None:
         state = init_gan_state(cfg, jax.random.PRNGKey(cfg.seed))
@@ -74,7 +81,8 @@ def train_gan(
         history = []
     if rng is None:
         rng = jax.random.PRNGKey(cfg.seed + 1)
-    step = make_gan_train_step(cfg, mesh=mesh)
+    if step is None:
+        step = make_gan_train_step(cfg, mesh=mesh)
     if mesh is not None:
         from ..parallel.mesh import replicate
 

@@ -84,17 +84,30 @@ def main(argv=None) -> dict:
         args.data_path, batch_size=32, valid=0.1, seed=args.seed
     )
 
-    # Stage A once, snapshotting generators at each sweep point.
+    # Stage A once, snapshotting generators at each sweep point. The copy is
+    # ONE jitted program: an eager per-leaf .copy() dispatches hundreds of
+    # tiny ops at one tunnel RTT each (~52 s/snapshot measured on the hosted
+    # chip vs ~1 s for a whole 4-bucket GAN epoch); only the generator
+    # subtrees are kept — stage B grafts generators, never discriminators
+    # (train/classifier.py::graft_generator_params).
+    from ..train.classifier import GENERATOR_GAN_KEYS
+
+    snapshot_gens = jax.jit(
+        lambda p: jax.tree.map(jnp.copy, {k: p[k] for k in GENERATOR_GAN_KEYS})
+    )
+    from ..train.gan import make_gan_train_step
+
+    gan_step = make_gan_train_step(gan_cfg)  # built ONCE across all segments
     snapshots = {}
     state, history = None, []
     prev = 0
     for g in points:
         state, history = train_gan(
             gan_cfg, gan_train_loader, g - prev, state=state, history=history,
-            start_epoch=prev, log_every_batch=False,
+            start_epoch=prev, log_every_batch=False, step=gan_step,
         )
         prev = g
-        snapshots[g] = jax.tree.map(lambda x: x.copy(), state["params"])
+        snapshots[g] = snapshot_gens(state["params"])
         print(f"snapshotted generators at GAN epoch {g}")
     save_gan_loss_csv(history, os.path.join(args.output_dir, "GAN_loss.csv"))
     draw_gan_loss(history, os.path.join(args.output_dir, "GAN_loss.png"))
@@ -121,13 +134,18 @@ def main(argv=None) -> dict:
     )
 
     history_dir = os.path.join(args.output_dir, "history")
+    # Per-point state construction as ONE jitted program (fresh copy of the
+    # base params + generator graft + optimizer-moment init): eager per-leaf
+    # copies/zeros_like dispatch hundreds of ops at one tunnel RTT each.
+    make_point_state = jax.jit(
+        lambda base, gens: init_classifier_state(
+            jax.tree.map(jnp.copy, graft_generator_params(base, gens)), optimizer
+        )
+    )
     results = {}
     for g in points:
         t0 = time.time()
-        params = graft_generator_params(
-            jax.tree.map(lambda x: x.copy(), base_params), snapshots[g]
-        )
-        clf_state = init_classifier_state(params, optimizer)
+        clf_state = make_point_state(base_params, snapshots[g])
         best = None
         rng = jax.random.PRNGKey(args.seed + 2)
         for e in range(args.epochs):

@@ -40,6 +40,8 @@ from ..nn.losses import masked_nll_loss
 ClassifierState = Dict[str, Any]
 
 GENERATOR_KEYS = ("acoustic_generator", "visual_generator", "text_generator")
+# the same subtrees under their GANState names (train/gan.py GEN_NAMES)
+GENERATOR_GAN_KEYS = ("acoustic_gen", "visual_gen", "text_gen")
 
 
 def graft_generator_params(classifier_params: Dict, gan_params: Dict) -> Dict:
