@@ -93,21 +93,60 @@ def focal_loss(
     return (1.0 - p) ** gamma * logp
 
 
+import jax as _jax
+
+
+@_jax.custom_vjp
+def _bce_elem(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Per-element BCE with torch's kernel semantics in BOTH directions.
+
+    Forward: ``-(t*max(log p, -100) + (1-t)*max(log(1-p), -100))`` — exactly
+    ``nn.BCELoss``'s log clamp. Backward: ``(p - t) / clamp_min(p*(1-p),
+    1e-12)`` — exactly ATen's ``binary_cross_entropy_backward``. The custom
+    backward is load-bearing, not a nicety: naive autodiff of the clamped
+    forward yields ``0 * inf = NaN`` the moment a discriminator sigmoid
+    saturates to exactly 0/1 in float32 (measured: a reference-scale stage-A
+    run NaN'd at epoch 118 as visual_D pushed its loss to 0.13), while the
+    reference's torch training survives the same saturation because of this
+    denominator clamp.
+    """
+    log_p = jnp.maximum(jnp.log(pred), -100.0)
+    log_1mp = jnp.maximum(jnp.log(1.0 - pred), -100.0)
+    return -(target * log_p + (1.0 - target) * log_1mp)
+
+
+def _bce_elem_fwd(pred, target):
+    return _bce_elem(pred, target), (pred, target)
+
+
+def _bce_elem_bwd(res, g):
+    pred, target = res
+    denom = jnp.maximum(pred * (1.0 - pred), 1e-12)  # ATen clamp_min(1e-12)
+    d_pred = g * (pred - target) / denom
+    # d/dt of the clamped forward (finite by construction; targets are
+    # constants in every call site, so this is exercised only under jvp tests)
+    d_target = g * (
+        jnp.maximum(jnp.log(1.0 - pred), -100.0) - jnp.maximum(jnp.log(pred), -100.0)
+    )
+    return d_pred, d_target
+
+
+_bce_elem.defvjp(_bce_elem_fwd, _bce_elem_bwd)
+
+
 def bce_loss(
     pred: jnp.ndarray,
     target: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Binary cross-entropy with torch's -100 log clamp, mean reduction.
+    """Binary cross-entropy with torch's -100 log clamp, mean reduction, and
+    torch's saturation-safe backward (see :func:`_bce_elem`).
 
     With ``mask``, the mean runs over masked-in elements only — used to make
     fixed-bucket batches reproduce the reference's BCE over dynamically-sized
     (L, B, 1) targets (train_IEMOCAP.py:341-346).
     """
-    eps_log = -100.0
-    log_p = jnp.maximum(jnp.log(pred), eps_log)
-    log_1mp = jnp.maximum(jnp.log(1.0 - pred), eps_log)
-    elem = -(target * log_p + (1.0 - target) * log_1mp)
+    elem = _bce_elem(pred, target)
     if mask is None:
         return jnp.mean(elem)
     m = jnp.broadcast_to(mask.astype(elem.dtype), elem.shape)

@@ -16,18 +16,26 @@ Torch side — the reference's OWN code, imported from /root/reference:
   itself crashes on CPU because it passes ``cuda`` positionally into the
   loss-weight position (train_IEMOCAP.py:679-691, PARITY.md).
 
-JAX side — ``gan_ffn_tpu.cli.train_iemocap.main`` (the real CLI), stepwise
-stage-A schedule so a CPU host skips the one-program compile.
+JAX side — ``gan_ffn_tpu.cli.train_iemocap.main`` (the real CLI), run in its
+native configuration (TPU when available; ``--jax-gan-schedule stepwise`` for
+CPU-only hosts skips the one-program stage-A compile).
 
 The fixture carries ``label_noise`` (observed labels flipped with prob p) so
 the achievable F1 tops out well below 100 (~(1-p)*100): both sides must LEARN
 to the same ceiling, and a dynamics bug on either side shows up as a final-F1
 gap. RNG streams/batch composition necessarily differ between frameworks, so
 the comparison is final quality within a band, not per-step numerics (those
-are pinned by the transplant tests).
+are pinned by the transplant tests). Sizing note: at lr=1e-4 the flagship
+needs hundreds of optimizer steps to converge, so the defaults keep the
+reference split sizes (120/31 dialogues -> 4 train batches/epoch) and the
+full 150 classifier epochs; a 24-dialogue fixture at 40 epochs never leaves
+the chance plateau (measured: F1 4.5 after 40 epochs vs 76.6 converged).
 
-Run (CPU, ~40-80 min for the default 20+40 epochs):
-    PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python scripts/ab_full_pipeline.py
+Run in two phases sharing one fixture (JAX on TPU, torch on host CPU):
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/ab_full_pipeline.py \
+        --skip-torch --fixture /tmp/ab_fix.pkl --out /tmp/ab_jax.json
+    PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python scripts/ab_full_pipeline.py \
+        --skip-jax --fixture /tmp/ab_fix.pkl --out /tmp/ab_torch.json
 Results land in PARITY.md ("Full-pipeline quality A/B") and the committed
 band is regression-guarded by tests/test_train.py::
 test_full_pipeline_f1_band (slow mark).
@@ -120,7 +128,10 @@ def run_torch(fixture: str, gan_epochs: int, epochs: int) -> dict:
     }
 
 
-def run_jax(fixture: str, gan_epochs: int, epochs: int, num_layers: int = 8) -> dict:
+def run_jax(
+    fixture: str, gan_epochs: int, epochs: int, num_layers: int = 8,
+    gan_schedule: str = "fused",
+) -> dict:
     from gan_ffn_tpu.cli.train_iemocap import main
 
     cwd = os.getcwd()
@@ -135,7 +146,7 @@ def run_jax(fixture: str, gan_epochs: int, epochs: int, num_layers: int = 8) -> 
             "--continue-train-GAN-step", "0",
             "--num-layers", str(num_layers),
             "--batch-size", "32",
-            "--gan-schedule", "stepwise",
+            "--gan-schedule", gan_schedule,
         ])
         res["total_s"] = round(time.time() - t0, 1)
     finally:
@@ -145,29 +156,36 @@ def run_jax(fixture: str, gan_epochs: int, epochs: int, num_layers: int = 8) -> 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--gan-epochs", type=int, default=20)
-    p.add_argument("--epochs", type=int, default=40)
-    p.add_argument("--n-train", type=int, default=24)
-    p.add_argument("--n-test", type=int, default=10)
+    p.add_argument("--gan-epochs", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--n-train", type=int, default=120)
+    p.add_argument("--n-test", type=int, default=31)
     p.add_argument("--min-len", type=int, default=6)
     p.add_argument("--max-len", type=int, default=24)
-    p.add_argument("--class-spread", type=float, default=1.0)
+    p.add_argument("--class-spread", type=float, default=2.0)
     p.add_argument("--label-noise", type=float, default=0.25)
     p.add_argument("--seed", type=int, default=3407)
     p.add_argument("--skip-torch", action="store_true")
     p.add_argument("--skip-jax", action="store_true")
+    p.add_argument("--jax-gan-schedule", choices=("fused", "stepwise"), default="fused")
+    p.add_argument("--fixture", default=None,
+                   help="fixture pickle path, reused if it exists (lets the "
+                        "torch and jax phases run in separate processes on "
+                        "the SAME data)")
     p.add_argument("--out", default=None, help="write results JSON here")
     args = p.parse_args()
 
     from gan_ffn_tpu.data import write_synthetic_iemocap
 
-    fixture = os.path.join(tempfile.mkdtemp(prefix="ab_full_fix_"),
-                           "IEMOCAP_features.pkl")
-    write_synthetic_iemocap(
-        fixture, n_train=args.n_train, n_test=args.n_test,
-        min_len=args.min_len, max_len=args.max_len, seed=args.seed,
-        class_spread=args.class_spread, label_noise=args.label_noise,
+    fixture = args.fixture or os.path.join(
+        tempfile.mkdtemp(prefix="ab_full_fix_"), "IEMOCAP_features.pkl"
     )
+    if not os.path.exists(fixture):
+        write_synthetic_iemocap(
+            fixture, n_train=args.n_train, n_test=args.n_test,
+            min_len=args.min_len, max_len=args.max_len, seed=args.seed,
+            class_spread=args.class_spread, label_noise=args.label_noise,
+        )
     ceiling = round((1 - args.label_noise + args.label_noise / 6) * 100, 1)
     print(
         f"shared fixture: {args.n_train}+{args.n_test} dialogues, "
@@ -177,7 +195,10 @@ def main():
 
     results = {"config": vars(args), "accuracy_ceiling_pct": ceiling}
     if not args.skip_jax:
-        results["jax"] = run_jax(fixture, args.gan_epochs, args.epochs)
+        results["jax"] = run_jax(
+            fixture, args.gan_epochs, args.epochs,
+            gan_schedule=args.jax_gan_schedule,
+        )
         print(f"\n[jax]   best_loss {results['jax']['best_loss']} "
               f"F1 {results['jax']['f1']} ({results['jax']['total_s']}s)")
     if not args.skip_torch:

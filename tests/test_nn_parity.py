@@ -219,6 +219,37 @@ def test_bce_loss_parity():
     assert float(got) == pytest.approx(float(expected), rel=1e-5)
 
 
+def test_bce_loss_saturated_gradient_matches_torch():
+    """Regression for the stage-A NaN blow-up: at sigmoid outputs of exactly
+    0.0 / 1.0 (float32 saturation — reached in practice once a discriminator
+    wins, measured at stage-A epoch 118 on a reference-scale run), naive
+    autodiff of the log-clamped BCE yields 0*inf = NaN gradients, while
+    torch's BCELoss backward clamps the denominator ((p-t)/clamp_min(p(1-p),
+    1e-12)) and stays finite. bce_loss must match torch's forward AND
+    backward at and near saturation."""
+    import jax
+
+    p_np = np.array([0.0, 1.0, 1e-30, 1.0 - 1e-7, 0.5, 0.2], dtype=np.float32)
+    y_np = np.array([1.0, 0.0, 1.0, 0.0, 1.0, 0.0], dtype=np.float32)
+
+    p_t = torch.tensor(p_np, requires_grad=True)
+    loss_t = tnn.BCELoss()(p_t, torch.from_numpy(y_np))
+    loss_t.backward()
+
+    grad_j = jax.grad(lambda p: gnn.bce_loss(p, jnp.asarray(y_np)))(jnp.asarray(p_np))
+    loss_j = gnn.bce_loss(jnp.asarray(p_np), jnp.asarray(y_np))
+
+    assert np.isfinite(np.asarray(grad_j)).all(), np.asarray(grad_j)
+    assert float(loss_j) == pytest.approx(float(loss_t), rel=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(grad_j), p_t.grad.numpy(), rtol=1e-5, atol=0
+    )
+    # masked variant stays finite too
+    mask = jnp.asarray(np.array([1, 1, 1, 1, 0, 0], dtype=np.float32))
+    gm = jax.grad(lambda p: gnn.bce_loss(p, jnp.asarray(y_np), mask))(jnp.asarray(p_np))
+    assert np.isfinite(np.asarray(gm)).all()
+
+
 def test_bce_loss_masked_equals_reference_dynamic_shape():
     """BCE over a bucket-padded tensor with mask == BCE over the dynamic slice."""
     rng = np.random.default_rng(11)

@@ -448,3 +448,41 @@ def test_stage_a_loss_trajectory_band(iemocap_pickle):
             assert abs(got[key] - want) < 0.05, (
                 f"epoch {epoch} {key}: {got[key]:.4f} drifted from {want:.4f}"
             )
+
+
+@pytest.mark.slow
+def test_full_pipeline_f1_band(tmp_path, monkeypatch):
+    """Banded quality regression for the COMPLETE pipeline (stage A -> graft
+    -> stage B -> best-by-min-test-loss F1) on the label-noised fixture the
+    torch-vs-jax full-pipeline A/B ran on (scripts/ab_full_pipeline.py,
+    PARITY.md "Full-pipeline quality A/B": torch 8-layer vs jax 8-layer both
+    converge to the ~79% accuracy ceiling; committed band there).
+
+    The CPU-affordable rendition trains depth-1 encoders at lr 3e-4 for 60
+    epochs on the same 120-dialogue fixture; the assertion is that the final
+    weighted F1 lands in the learned band well above chance (>= 55) and at
+    most the label-noise ceiling plus slack (<= 85) — a dynamics regression
+    anywhere in the pipeline (loaders, duels, graft, masked loss, best-epoch
+    selection) drops it out of the band."""
+    fixture = str(tmp_path / "IEMOCAP_features.pkl")
+    from gan_ffn_tpu.data.synthetic import write_synthetic_iemocap
+
+    write_synthetic_iemocap(
+        fixture, n_train=120, n_test=31, min_len=6, max_len=24,
+        class_spread=2.0, label_noise=0.25, seed=3407,
+    )
+    monkeypatch.chdir(tmp_path)  # the CLI writes output/, GAN_save/ to cwd
+    from gan_ffn_tpu.cli.train_iemocap import main
+
+    try:
+        res = main([
+            "--data-path", fixture, "--epochs", "60", "--GAN-epochs", "2",
+            "--continue-train-GAN-step", "0", "--num-layers", "1",
+            "--gan-schedule", "stepwise", "--batch-size", "32",
+            "--lr", "0.0003",
+        ])
+    finally:
+        import jax
+
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+    assert 55.0 <= res["f1"] <= 85.0, res
