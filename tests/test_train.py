@@ -486,3 +486,26 @@ def test_full_pipeline_f1_band(tmp_path, monkeypatch):
 
         jax.config.update("jax_default_prng_impl", "threefry2x32")
     assert 55.0 <= res["f1"] <= 85.0, res
+
+
+
+@pytest.mark.slow
+def test_gan_step_survives_discriminator_saturation():
+    """Integration guard for the stage-A NaN blow-up (PARITY.md round 3):
+    drive one duel's discriminator toward saturation by scaling its output
+    head so sigmoid outputs hit exactly 0/1 in float32, then run the full
+    12-duel step — every loss and every updated parameter must stay finite
+    (the reference's torch training survives this; pre-fix our backward
+    NaN'd and Adam never recovered)."""
+    state = init_gan_state(CFG, jax.random.PRNGKey(0))
+    # push visual_disc's final layer to huge logits -> sigmoid saturates
+    head = state["params"]["visual_disc"]["net"]["fc3"]
+    head["kernel"] = head["kernel"] * 1e4
+    head["bias"] = head["bias"] + 1e4
+
+    step = make_gan_train_step(CFG)
+    state2, losses = step(state, _gan_batch(5), jax.random.PRNGKey(9))
+    for k in LOGGED_LOSS_KEYS:
+        assert np.isfinite(float(losses[k])), (k, float(losses[k]))
+    for leaf in jax.tree.leaves(state2["params"]):
+        assert np.isfinite(np.asarray(leaf)).all()
