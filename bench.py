@@ -10,10 +10,10 @@ tunnel's ~±25% cross-process variance (PERF.md): spread = (max-min)/median
 over the in-process repeats. Round-over-round deltas smaller than the session
 variance bar are noise regardless of the in-process spread.
 
-Three modes, all at the reference's own shapes, all counting only REAL
+Three hot paths, all at the reference's own shapes, all counting only REAL
 utterances (sum(umask) with realistic dialogue lengths 20-110):
 
-- default            — flagship GAN_FFN classifier train step (3x 8-layer
+- flagship           — GAN_FFN classifier train step (3x 8-layer
                        encoders fwd+bwd + masked NLL + torch-Adam), batch 32.
 - --stage-a          — the fused 12-duel adversarial step (train/gan.py):
                        12 sequential loss/grad/Adam updates over the six
@@ -23,6 +23,12 @@ utterances (sum(umask) with realistic dialogue lengths 20-110):
 - --dialoguernn      — GAN_FFN_DialogueRNN train step (3 generators + BiModel
                        bidirectional lax.scan + att2), batch 30
                        (train_IEMOCAP_DialogueRNN.py:635-641).
+
+DEFAULT (no mode flag, round 4+): benches ALL THREE paths and prints three
+JSON lines in the order stage-A, DialogueRNN, flagship — the flagship line
+LAST so a driver that parses the final line still records the metric
+comparable with rounds 1-3 (``BENCH_r*.json``). ``--flagship`` restores the
+single-line flagship-only run.
 
 Baselines: the reference publishes no throughput numbers (BASELINE.md), so
 each mode carries an estimate of the reference's V100 rate, anchored by
@@ -268,9 +274,11 @@ def main():
     parser.add_argument("--bucket-len", type=int, default=112)
     mode = parser.add_mutually_exclusive_group()
     mode.add_argument("--stage-a", action="store_true", default=False,
-                      help="bench the fused 12-duel adversarial step")
+                      help="bench ONLY the fused 12-duel adversarial step")
     mode.add_argument("--dialoguernn", action="store_true", default=False,
-                      help="bench the GAN_FFN_DialogueRNN train step")
+                      help="bench ONLY the GAN_FFN_DialogueRNN train step")
+    mode.add_argument("--flagship", action="store_true", default=False,
+                      help="bench ONLY the flagship GAN_FFN classifier step")
     parser.add_argument("--no-pallas-attention", action="store_true", default=False,
                         help="A/B: force the XLA attention path")
     parser.add_argument("--no-pallas-mlp", action="store_true", default=False,
@@ -292,12 +300,17 @@ def main():
         if args.no_pallas_mlp:
             stack.enter_context(use_pallas_mlp(False))
         if args.stage_a:
-            result = bench_stage_a(args)
+            benches = [bench_stage_a]
         elif args.dialoguernn:
-            result = bench_dialoguernn(args)
+            benches = [bench_dialoguernn]
+        elif args.flagship:
+            benches = [bench_classifier]
         else:
-            result = bench_classifier(args)
-    print(json.dumps(result))
+            # all three hot paths; flagship LAST so the driver's final-line
+            # parse stays the round-comparable flagship metric
+            benches = [bench_stage_a, bench_dialoguernn, bench_classifier]
+        for bench in benches:
+            print(json.dumps(bench(args)), flush=True)
 
 
 if __name__ == "__main__":

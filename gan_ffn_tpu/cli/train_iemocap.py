@@ -63,7 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "one batch per epoch (async-friendly); 'batch' logs every "
                         "parameter every batch like the reference "
                         "(train_IEMOCAP.py:166-168) at the cost of a second backward "
-                        "pass and a device sync per batch")
+                        "pass and a device sync per batch. Batch-cadence "
+                        "histograms are a re-estimate: grads recomputed at the "
+                        "POST-update params with a fresh dropout mask, not the "
+                        "applied gradients (a one-step offset the reference's "
+                        "eager param.grad does not have)")
     p.add_argument("--use-trained-GAN", action="store_true", default=False, help="use trained GAN")
     p.add_argument("--continue-train-GAN-step", type=int, default=5, metavar="E",
                    help="continue training from saved GAN models")
@@ -217,6 +221,8 @@ def main(argv=None) -> dict:
         if writer.enabled and args.tb_grad_histograms == "batch":
             # reference cadence: every parameter's grad histogram EVERY batch,
             # tagged with the epoch step (train_IEMOCAP.py:166-168)
+            # NOTE: a re-estimate, not the applied grads — recomputed at the
+            # post-update params with an independent dropout key (see --help)
             rng, gkey = jax.random.split(rng)
 
             def on_batch(i, st, arrays, _e=e, _k=gkey):
@@ -229,8 +235,12 @@ def main(argv=None) -> dict:
                 train_loader, state, train_step=train_step, rng=sub,
                 lr_scale=lr_scale, on_batch=on_batch,
             )
-        valid_res = run_epoch(valid_loader, state["params"], eval_step=eval_step)
-        test_res = run_epoch(test_loader, state["params"], eval_step=eval_step)
+        valid_res = run_epoch(
+            valid_loader, state["params"], eval_step=eval_step, eval_attentions=True
+        )
+        test_res = run_epoch(
+            test_loader, state["params"], eval_step=eval_step, eval_attentions=True
+        )
 
         if writer.enabled and args.tb_grad_histograms == "epoch":
             # per-parameter gradient histograms sampled once per epoch (the

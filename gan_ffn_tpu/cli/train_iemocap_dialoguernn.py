@@ -52,7 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gradient-histogram cadence under --tensorboard: 'epoch' samples "
                         "one batch per epoch; 'batch' matches the reference's "
                         "per-batch logging (train_IEMOCAP_DialogueRNN.py:167-169) at "
-                        "the cost of a second backward pass and a sync per batch")
+                        "the cost of a second backward pass and a sync per batch. "
+                        "Batch-cadence histograms are a re-estimate: grads "
+                        "recomputed at the POST-update params with a fresh "
+                        "dropout mask, not the applied gradients")
     p.add_argument("--use-trained-GAN", action="store_true", default=True)
     p.add_argument("--fresh-GAN", dest="use_trained_GAN", action="store_false",
                    help="train the GAN from scratch instead of loading")
@@ -201,6 +204,8 @@ def main(argv=None) -> dict:
         if writer.enabled and args.tb_grad_histograms == "batch":
             # reference cadence: per-parameter grad histograms every batch
             # (train_IEMOCAP_DialogueRNN.py:167-169)
+            # NOTE: a re-estimate, not the applied grads — recomputed at the
+            # post-update params with an independent dropout key (see --help)
             rng, gkey = jax.random.split(rng)
 
             def on_batch(i, st, arrays, _e=e, _k=gkey):
@@ -212,8 +217,12 @@ def main(argv=None) -> dict:
             train_loader, state, train_step=train_step, rng=sub,
             lr_scale=lr_scale, on_batch=on_batch,
         )
-        valid_res = run_epoch(valid_loader, state["params"], eval_step=eval_step)
-        test_res = run_epoch(test_loader, state["params"], eval_step=eval_step)
+        valid_res = run_epoch(
+            valid_loader, state["params"], eval_step=eval_step, eval_attentions=True
+        )
+        test_res = run_epoch(
+            test_loader, state["params"], eval_step=eval_step, eval_attentions=True
+        )
         if best is None or best[0] > test_res.avg_loss:
             best = (test_res.avg_loss, test_res.labels, test_res.preds, test_res.masks)
             # best epoch's att2/directional attention weights (reference

@@ -38,7 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gradient-histogram cadence under --tensorboard: 'epoch' samples "
                         "one batch per epoch; 'batch' matches the reference's per-batch "
                         "logging (train_MELD.py:83-85) at the cost of a second backward "
-                        "pass and a sync per batch")
+                        "pass and a sync per batch. Batch-cadence histograms are "
+                        "a re-estimate: grads recomputed at the POST-update "
+                        "params with a fresh dropout mask, not the applied "
+                        "gradients")
     p.add_argument("--classify", default="emotion", help="emotion or sentiment")
     # framework additions
     p.add_argument("--data-path", default="data/meld/MELD_features_raw.pkl")
@@ -127,6 +130,8 @@ def main(argv=None) -> dict:
         if writer.enabled and args.tb_grad_histograms == "batch":
             # reference cadence: per-parameter grad histograms every batch
             # (train_MELD.py:83-85)
+            # NOTE: a re-estimate, not the applied grads — recomputed at the
+            # post-update params with an independent dropout key (see --help)
             rng, gkey = jax.random.split(rng)
 
             def on_batch(i, st, arrays, _e=e, _k=gkey):
@@ -139,10 +144,12 @@ def main(argv=None) -> dict:
             on_batch=on_batch,
         )
         valid_res = run_epoch(
-            valid_loader, state["params"], eval_step=eval_step, with_visual=False
+            valid_loader, state["params"], eval_step=eval_step, with_visual=False,
+            eval_attentions=True,
         )
         test_res = run_epoch(
-            test_loader, state["params"], eval_step=eval_step, with_visual=False
+            test_loader, state["params"], eval_step=eval_step, with_visual=False,
+            eval_attentions=True,
         )
         if writer.enabled:
             # reference scalar tags (train_MELD.py:179-181)

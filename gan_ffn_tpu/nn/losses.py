@@ -123,8 +123,10 @@ def _bce_elem_bwd(res, g):
     pred, target = res
     denom = jnp.maximum(pred * (1.0 - pred), 1e-12)  # ATen clamp_min(1e-12)
     d_pred = g * (pred - target) / denom
-    # d/dt of the clamped forward (finite by construction; targets are
-    # constants in every call site, so this is exercised only under jvp tests)
+    # d/dt of the clamped forward (finite by construction). Targets are
+    # constants at every call site, so this cotangent only flows in
+    # reverse-mode grads taken w.r.t. target. Note: custom_vjp makes
+    # bce_loss reverse-mode only — jvp/jacfwd through it raises.
     d_target = g * (
         jnp.maximum(jnp.log(1.0 - pred), -100.0) - jnp.maximum(jnp.log(pred), -100.0)
     )
@@ -145,6 +147,9 @@ def bce_loss(
     With ``mask``, the mean runs over masked-in elements only — used to make
     fixed-bucket batches reproduce the reference's BCE over dynamically-sized
     (L, B, 1) targets (train_IEMOCAP.py:341-346).
+
+    Reverse-mode only: the custom VJP means ``jax.jvp``/``jacfwd`` through
+    this loss raise (jax.custom_vjp functions reject forward-mode AD).
     """
     elem = _bce_elem(pred, target)
     if mask is None:

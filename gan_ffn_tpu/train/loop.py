@@ -72,13 +72,16 @@ class EpochResult:
     preds: np.ndarray
     masks: np.ndarray
     avg_fscore: float
-    # Eval-epoch attention weights, populated when the eval step was built
-    # with ``eval_attentions=True`` (the reference's 7th return,
+    # Eval-epoch attention weights, populated when the epoch ran with
+    # ``eval_attentions=True`` (the reference's 7th return,
     # ``attentions = [alphas, alphas_f, alphas_b, vids]``,
     # train_IEMOCAP.py:120,172-174,196): a dict mapping each attention key
     # (e.g. "alpha" (L, B, L) for DialogueRNN/MELD att2; empty for GAN_FFN)
     # to a list of per-batch arrays, plus "vids" — the dialogue ids, batch
-    # order. None on train epochs and attention-less eval steps.
+    # order. The batch axis (axis 1) of each array is sliced to that batch's
+    # ``n_real`` real dialogues, so ``attentions[key][i][:, j]`` always pairs
+    # with ``attentions["vids"][i][j]`` — fixed-bucket padding columns never
+    # appear here. None on train epochs and attention-less eval steps.
     attentions: Optional[Dict[str, list]] = None
 
 
@@ -91,10 +94,16 @@ def run_epoch(
     with_visual: bool = True,
     lr_scale: Optional[float] = None,
     on_batch: Optional[Callable] = None,
+    eval_attentions: bool = False,
 ):
     """Run one epoch. With ``train_step`` set, trains (threading state through
     steps) and returns (state, EpochResult); otherwise evaluates with
     ``eval_step`` and returns EpochResult.
+
+    ``eval_attentions`` declares the eval step's return protocol explicitly
+    (mirroring ``make_classifier_steps``): True means ``eval_step`` returns
+    ``(loss, preds, attn)`` and the attention pytree is surfaced in
+    ``EpochResult.attentions``; False means ``(loss, preds)``.
 
     ``on_batch(batch_index, state, arrays)`` is invoked after every train
     step — the hook behind per-batch observability (the reference's
@@ -125,13 +134,12 @@ def run_epoch(
             if on_batch is not None:
                 on_batch(n_batches, state, arrays)
         else:
-            out = eval_step(state, arrays)
-            if len(out) == 3:  # eval_attentions step: (loss, preds, attn)
-                loss, preds, attn = out
-                dev_attns.append(attn)
+            if eval_attentions:
+                loss, preds, attn = eval_step(state, arrays)
+                dev_attns.append((attn, batch.n_real))
                 all_vids.append(list(batch.vids))
             else:
-                loss, preds = out
+                loss, preds = eval_step(state, arrays)
         mask_flat = batch.umask.reshape(-1)
         dev_losses.append(loss)
         dev_preds.append(preds)
@@ -155,10 +163,12 @@ def run_epoch(
     attentions = None
     if fetched[2]:
         attentions = {"vids": all_vids}
-        for key in fetched[2][0]:
+        for key in fetched[2][0][0]:
+            # slice the batch axis (axis 1) down to n_real so columns align
+            # 1:1 with the vids list (trailing columns are bucket padding)
             per_batch = [
-                np.asarray(a[key])
-                for a in fetched[2]
+                np.asarray(a[key])[:, :n_real]
+                for a, n_real in fetched[2]
                 if a[key] is not None and np.size(a[key])
             ]
             attentions[key] = per_batch

@@ -3,6 +3,12 @@
 The fused attention kernel must match the XLA reference path bit-closely in
 deterministic mode, for both head geometries used by the GAN group
 (Dh=10 generators, Dh=64 visual), forward and backward.
+
+COVERAGE POLICY: the in-kernel PRNG dropout paths (``pltpu.prng_*``) cannot
+run under the CPU interpreter, so the two ``tpu_hardware``-marked dropout
+tests SKIP in the CPU CI gate — a green CPU suite does NOT cover them. They
+run whenever a real TPU is reachable; the most recent hardware runs are
+recorded in PERF.md ("Pallas kernel validation on hardware").
 """
 
 import functools

@@ -1,6 +1,8 @@
 """Training-engine tests: the jitted 12-duel GAN step, classifier steps,
 generator grafting, and a miniature end-to-end IEMOCAP slice."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -232,7 +234,9 @@ def test_eval_attentions_surfaced_in_epoch_result():
     train_step, eval_step = make_classifier_steps(
         apply_train, apply_eval, opt, 7, eval_attentions=True
     )
-    res = run_epoch([batch], params, eval_step=eval_step, with_visual=False)
+    res = run_epoch(
+        [batch], params, eval_step=eval_step, with_visual=False, eval_attentions=True
+    )
     assert res.attentions is not None
     assert len(res.attentions["alpha"]) == 1
     assert res.attentions["alpha"][0].shape == (Lm, Bm, Lm)
@@ -241,6 +245,18 @@ def test_eval_attentions_surfaced_in_epoch_result():
     # attention rows are softmax distributions over the sequence
     np.testing.assert_allclose(
         res.attentions["alpha"][0].sum(-1), np.ones((Lm, Bm)), rtol=1e-5
+    )
+
+    # a partially-padded bucket batch: attention columns are sliced to n_real
+    # so alpha[:, j] pairs 1:1 with vids[j] (no padding columns surface)
+    padded = dataclasses.replace(batch, vids=["dia0", "dia1"], n_real=2)
+    pres = run_epoch(
+        [padded], params, eval_step=eval_step, with_visual=False, eval_attentions=True
+    )
+    assert pres.attentions["alpha"][0].shape == (Lm, 2, Lm)
+    assert pres.attentions["vids"] == [["dia0", "dia1"]]
+    np.testing.assert_allclose(
+        pres.attentions["alpha"][0], res.attentions["alpha"][0][:, :2], rtol=1e-6
     )
 
     # train epochs carry no attentions (no extra outputs/syncs)
@@ -271,7 +287,7 @@ def test_eval_attentions_surfaced_in_epoch_result():
     )["params"]
     gtrain, geval = make_gan_ffn_apply_fns(gmodel, eval_attentions=True)
     _, geval_step = make_classifier_steps(gtrain, geval, opt, 6, eval_attentions=True)
-    gres = run_epoch([gbatch], gparams, eval_step=geval_step)
+    gres = run_epoch([gbatch], gparams, eval_step=geval_step, eval_attentions=True)
     assert gres.attentions["alpha"] == []
     assert gres.attentions["vids"] == [["g0", "g1", "g2"]]
 
