@@ -218,6 +218,148 @@ def test_gan_stepwise_dp_matches_single_device_partial_batch(cpu_devices):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=3e-4)
 
 
+def _qmask(seed, n_party=2):
+    rng = np.random.default_rng(seed)
+    party = rng.integers(0, n_party, size=(L, B))
+    return jnp.asarray(np.eye(n_party, dtype=np.float32)[party])
+
+
+@pytest.mark.slow
+def test_dialoguernn_dp_train_step_matches_single_device(cpu_devices):
+    """DP equivalence for the recurrent flagship: one GAN_FFN_DialogueRNN
+    train step (generators -> fusion -> BiModel fwd/rev scans -> att2) on the
+    8-device mesh produces the same loss and params as single-device. This is
+    the hardest model under batch sharding — the scan's fixed-size g_hist
+    buffer (models/dialogue_rnn.py:45-57), the one-hot party select, and the
+    masked take_along_axis reversal (models/dialogue_rnn.py:146) all carry
+    the sharded batch axis through lax.scan; every prior DP test only covered
+    the feed-forward GAN_FFN."""
+    from gan_ffn_tpu.models import GAN_FFN_DialogueRNN
+
+    mesh = make_mesh(cpu_devices)
+    kwargs = dict(
+        D_m=100, D_g=64, D_p=64, D_e=32, D_h=100, D_a=32,
+        n_classes=6, gen_num_layers=1,
+    )
+    model_train = GAN_FFN_DialogueRNN(**kwargs, deterministic=False)
+    model_eval = GAN_FFN_DialogueRNN(**kwargs, deterministic=True)
+    batch = dict(_batch(41), qmask=_qmask(42))
+    params = model_eval.init(
+        jax.random.PRNGKey(31), batch["audio"], batch["visual"], batch["text"],
+        batch["qmask"], batch["umask"],
+    )["params"]
+
+    def apply_train(p, rng, b):
+        return model_train.apply(
+            {"params": p}, b["audio"], b["visual"], b["text"],
+            b["qmask"], b["umask"], valid_len=b["valid_len"],
+            rngs={"dropout": rng},
+        )[0]
+
+    def apply_eval(p, b):
+        return model_eval.apply(
+            {"params": p}, b["audio"], b["visual"], b["text"],
+            b["qmask"], b["umask"], valid_len=b["valid_len"],
+        )[0]
+
+    lr = 1e-3
+    opt = torch_adam(lr)
+    train_step, eval_step = make_classifier_steps(apply_train, apply_eval, opt, 6)
+
+    params_copy = jax.tree.map(lambda x: jnp.array(np.asarray(x)), params)
+
+    # eval parity on identical params: the reversal + attention path without
+    # dropout must agree bitwise-close under batch sharding
+    eloss1, epreds1 = eval_step(params, batch)
+    eloss2, epreds2 = eval_step(replicate(params_copy, mesh), shard_batch(batch, mesh))
+    assert float(eloss2) == pytest.approx(float(eloss1), rel=1e-5)
+    np.testing.assert_array_equal(np.asarray(epreds2), np.asarray(epreds1))
+
+    state1 = init_classifier_state(params, opt)
+    state1, loss1, _ = train_step(state1, jax.random.PRNGKey(13), batch)
+
+    state2 = init_classifier_state(replicate(params_copy, mesh), opt)
+    state2 = {"params": state2["params"], "opt": replicate(state2["opt"], mesh)}
+    state2, loss2, _ = train_step(
+        state2, jax.random.PRNGKey(13), shard_batch(batch, mesh)
+    )
+
+    assert float(loss2) == pytest.approx(float(loss1), rel=1e-5)
+    # Two-tier parameter check. The deep scan program reorders many more
+    # float32 reductions than the feed-forward tests; where a tiny gradient's
+    # SIGN flips at the ulp level, torch-Adam's m/(sqrt(v)+eps) normalization
+    # turns it into a full +/-lr first step, so the worst-case single-step
+    # delta is ~2*lr regardless of how close the gradients are. Assert (a)
+    # every element is inside that principled 2.5*lr bound, and (b) the
+    # fraction of elements beyond the ordinary reduction tolerance 3e-4 is
+    # ulp-rare (observed: 71 / 1,317,390 = 5.4e-5), far from the systematic
+    # divergence of the reference's DataParallel (README.md:83).
+    n_loose = n_total = 0
+    for a, b in zip(jax.tree.leaves(state1["params"]), jax.tree.leaves(state2["params"])):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert d.max() <= 2.5 * lr, f"param delta {d.max()} exceeds the Adam step bound"
+        n_loose += int((d > 3e-4).sum())
+        n_total += d.size
+    assert n_loose <= 2e-4 * n_total, (
+        f"{n_loose}/{n_total} elements beyond reduction tolerance"
+    )
+
+
+@pytest.mark.slow
+def test_meld_dp_train_step_matches_single_device(cpu_devices):
+    """DP equivalence for the MELD entry's model: one MELDLSTMModel train
+    step (4-layer BiLSTM scans + batched general2 MatchingAttention +
+    hardswish residual) on the mesh matches single-device, with a partial
+    final batch's padded umask columns in play (the loader's fixed-bucket
+    padding means real deployments always hit this)."""
+    from gan_ffn_tpu.models import MELDLSTMModel
+
+    mesh = make_mesh(cpu_devices)
+    model = MELDLSTMModel(D_m=32, D_e=16, D_h=16, n_classes=7)
+    rng = np.random.default_rng(51)
+    batch = {
+        "text": jnp.asarray(rng.normal(size=(L, B, 32)).astype(np.float32)),
+        "qmask": _qmask(52, n_party=9),
+        "umask": jnp.asarray((rng.random((B, L)) > 0.3).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 7, size=(B, L))),
+        "valid_len": jnp.asarray(L, dtype=jnp.int32),
+        "n_real": jnp.asarray(B, dtype=jnp.int32),
+    }
+    # zero out one dialogue column entirely (padding row of a partial batch)
+    batch["umask"] = batch["umask"].at[B - 1].set(0.0)
+    params = model.init(
+        jax.random.PRNGKey(61), batch["text"], batch["qmask"], batch["umask"]
+    )["params"]
+
+    def apply_train(p, rng, b):
+        return model.apply(
+            {"params": p}, b["text"], b["qmask"], b["umask"],
+            deterministic=False, rngs={"dropout": rng},
+        )[0]
+
+    def apply_eval(p, b):
+        return model.apply(
+            {"params": p}, b["text"], b["qmask"], b["umask"], deterministic=True
+        )[0]
+
+    opt = torch_adam(1e-3)
+    train_step, eval_step = make_classifier_steps(apply_train, apply_eval, opt, 7)
+
+    params_copy = jax.tree.map(lambda x: jnp.array(np.asarray(x)), params)
+    state1 = init_classifier_state(params, opt)
+    state1, loss1, _ = train_step(state1, jax.random.PRNGKey(71), batch)
+
+    state2 = init_classifier_state(replicate(params_copy, mesh), opt)
+    state2 = {"params": state2["params"], "opt": replicate(state2["opt"], mesh)}
+    state2, loss2, _ = train_step(
+        state2, jax.random.PRNGKey(71), shard_batch(batch, mesh)
+    )
+
+    assert float(loss2) == pytest.approx(float(loss1), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(state1["params"]), jax.tree.leaves(state2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_multi_seed_sweep(cpu_devices):
     """8 seeds train in one vmapped step; different seeds diverge."""

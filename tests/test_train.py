@@ -475,11 +475,13 @@ def test_full_pipeline_f1_band(tmp_path, monkeypatch):
     converge to the ~79% accuracy ceiling; committed band there).
 
     The CPU-affordable rendition trains depth-1 encoders at lr 3e-4 for 60
-    epochs on the same 120-dialogue fixture; the assertion is that the final
-    weighted F1 lands in the learned band well above chance (>= 55) and at
-    most the label-noise ceiling plus slack (<= 85) — a dynamics regression
-    anywhere in the pipeline (loaders, duels, graft, masked loss, best-epoch
-    selection) drops it out of the band."""
+    epochs on the same 120-dialogue fixture. The run is fully deterministic
+    (seed 3407, threefry, CPU f32); the observed values at round-4 HEAD are
+    weighted F1 = 76.61 and best test loss = 0.9187, so the bands are drawn
+    tight around them (F1 +/- 4.6, loss +/- 0.10) — a real dynamics
+    regression of a few F1 points anywhere in the pipeline (loaders, duels,
+    graft, masked loss, best-epoch selection) now fails the suite, while
+    platform-level float wiggle stays well inside."""
     fixture = str(tmp_path / "IEMOCAP_features.pkl")
     from gan_ffn_tpu.data.synthetic import write_synthetic_iemocap
 
@@ -501,7 +503,8 @@ def test_full_pipeline_f1_band(tmp_path, monkeypatch):
         import jax
 
         jax.config.update("jax_default_prng_impl", "threefry2x32")
-    assert 55.0 <= res["f1"] <= 85.0, res
+    assert 72.0 <= res["f1"] <= 81.2, res
+    assert 0.82 <= float(res["best_loss"]) <= 1.02, res
 
 
 
