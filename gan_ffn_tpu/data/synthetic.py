@@ -194,12 +194,20 @@ def write_synthetic_meld(
     seed: int = 3407,
     class_spread: float = 2.0,
     noise: float = 1.0,
+    label_noise: float = 0.0,
 ) -> str:
     """Write a synthetic MELD-schema feature pickle.
 
     MELD speakers are pre-one-hot 9-party vectors (reference dataloader.py:113
     passes them straight to ``FloatTensor``); there are no visual features in
     the MELD pickle the reference consumes.
+
+    ``label_noise`` flips each OBSERVED emotion label to a different class
+    with the given probability (features stay conditioned on the true label;
+    sentiment labels are derived from the observed emotion so the two label
+    sets stay consistent). Same non-trivially-separable regime as the
+    IEMOCAP writer — used by the MELD full-pipeline quality A/B
+    (scripts/ab_meld_pipeline.py).
     """
     rng = np.random.default_rng(seed)
     dims = MELD_DIMS
@@ -216,8 +224,14 @@ def write_synthetic_meld(
     for vid in all_vids:
         L = int(rng.integers(min_len, max_len + 1))
         emos = rng.integers(0, MELD_N_EMOTIONS, size=L)
-        emotion_labels[vid] = emos.tolist()
-        sentiment_labels[vid] = emo2sent[emos].tolist()
+        observed = emos.copy()
+        if label_noise > 0.0:
+            flip = rng.random(L) < label_noise
+            observed[flip] = (
+                emos[flip] + rng.integers(1, MELD_N_EMOTIONS, size=int(flip.sum()))
+            ) % MELD_N_EMOTIONS
+        emotion_labels[vid] = observed.tolist()
+        sentiment_labels[vid] = emo2sent[observed].tolist()
         party = rng.integers(0, MELD_N_PARTIES, size=L)
         speakers = np.zeros((L, MELD_N_PARTIES), dtype=np.float32)
         speakers[np.arange(L), party] = 1.0

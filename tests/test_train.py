@@ -507,6 +507,38 @@ def test_full_pipeline_f1_band(tmp_path, monkeypatch):
     assert 0.82 <= float(res["best_loss"]) <= 1.02, res
 
 
+@pytest.mark.slow
+def test_meld_pipeline_f1_band(tmp_path, monkeypatch):
+    """Banded quality regression for the COMPLETE MELD entry on the
+    label-noised fixture the torch-vs-jax MELD A/B ran on
+    (scripts/ab_meld_pipeline.py, PARITY.md "MELD full-pipeline quality
+    A/B": the reference's own train_MELD.py --no-cuda and this CLI both
+    landed final weighted F1 = 75.77, |delta| = 0.00). This is the exact jax
+    side of that A/B (seed 3407, 50 epochs, best-by-max-test-F1, 7-class,
+    ~78.6% accuracy ceiling at 25% label noise); the F1 band is drawn around
+    the observed values (75.77 in the A/B process, 75.97 under the 8-device
+    test harness) so a real dynamics regression in the MELDLSTMModel path,
+    loaders, masked loss, or best-epoch selection fails the suite. The loss
+    is only sanity-bounded: best-by-max-test-F1 selection records the loss
+    at whatever epoch F1 peaked, and past convergence the NLL grows
+    overconfident on the noisy labels while F1 holds the ceiling, so tiny
+    numeric perturbations legitimately move the recorded loss by ~0.7
+    (observed 1.13 vs 1.84 across environments at F1 75.8-76.0)."""
+    fixture = str(tmp_path / "MELD_features_raw.pkl")
+    from gan_ffn_tpu.data.synthetic import write_synthetic_meld
+
+    write_synthetic_meld(
+        fixture, n_train=120, n_test=40, min_len=3, max_len=24,
+        class_spread=2.0, label_noise=0.25, seed=3407,
+    )
+    monkeypatch.chdir(tmp_path)  # the CLI writes output/ to cwd
+    from gan_ffn_tpu.cli.train_meld import main
+
+    res = main(["--data-path", fixture, "--epochs", "50"])
+    assert 70.5 <= res["f1"] <= 79.5, res
+    assert 0.9 <= float(res["best_loss"]) <= 2.2, res
+
+
 
 @pytest.mark.slow
 def test_gan_step_survives_discriminator_saturation():
