@@ -56,6 +56,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=3407)
     p.add_argument("--synthetic-train", type=int, default=120)
     p.add_argument("--synthetic-test", type=int, default=31)
+    p.add_argument("--synthetic-max-len", type=int, default=110)
+    p.add_argument("--synthetic-class-spread", type=float, default=2.0)
+    p.add_argument("--synthetic-noise", type=float, default=1.0)
+    p.add_argument("--synthetic-label-noise", type=float, default=0.0)
+    p.add_argument("--synthetic-confusable-pairs", type=int, default=0,
+                   help="collapse N class-mean pairs per modality (rotated) so "
+                        "classes separate only through cross-modal fusion — the "
+                        "fixture regime where the GAN-epochs budget can move "
+                        "final F1 (data/synthetic.py::_collapse_confusable_pairs)")
+    p.add_argument("--synthetic-nonuniform-priors", action="store_true", default=False,
+                   help="skew class priors (geometric 0.75 decay) so the class "
+                        "modes differ in mass and the unsupervised 12-duel mode "
+                        "correspondence is identifiable")
     return p
 
 
@@ -68,9 +81,16 @@ def main(argv=None) -> dict:
     wait_for_device()
 
     if args.synthetic and not os.path.exists(args.data_path):
+        priors = None
+        if args.synthetic_nonuniform_priors:
+            priors = [0.75 ** i for i in range(6)]
         write_synthetic_iemocap(
             args.data_path, n_train=args.synthetic_train, n_test=args.synthetic_test,
-            seed=args.seed,
+            max_len=args.synthetic_max_len, seed=args.seed,
+            class_spread=args.synthetic_class_spread, noise=args.synthetic_noise,
+            label_noise=args.synthetic_label_noise,
+            confusable_pairs=args.synthetic_confusable_pairs,
+            class_priors=priors,
         )
 
     start, stop, step = args.gan_epochs

@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--model-save-path", default="./GAN_save/")
     p.add_argument("--num-layers", type=int, default=8)
+    p.add_argument("--gan-schedule", choices=("fused", "stepwise"), default="fused",
+                   help="stage-A compilation strategy: 'fused' compiles the whole "
+                        "12-duel schedule into one program (fast steps, long first "
+                        "compile); 'stepwise' jits the 12 duels separately (fast "
+                        "compiles — the right choice for CPU-hosted runs)")
     p.add_argument("--lr-schedule", choices=("reference", "decay"), default="reference",
                    help="reference: constant lr (per-batch LambdaLR quirk); decay: "
                         "honest 0.98^epoch decay")
@@ -101,7 +106,7 @@ def main(argv=None) -> dict:
 
     gan_cfg = GANConfig(
         num_layers=args.num_layers, lr=0.0001, b1=0.5, b2=0.6, dtype=dtype,
-        seed=args.seed,
+        seed=args.seed, fused_schedule=(args.gan_schedule == "fused"),
     )
     gan_train_loader, _, _ = get_iemocap_loaders(
         args.data_path, batch_size=32, valid=0.1, seed=args.seed,

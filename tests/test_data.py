@@ -261,3 +261,38 @@ def test_meld_dataset_tolerates_legacy_pickle_dtypes(meld_pickle, tmp_path):
                 ga, gb = getattr(a, field), getattr(b, field)
                 assert gb.dtype == ga.dtype, field
                 np.testing.assert_array_equal(ga, gb, err_msg=field)
+
+
+def test_confusable_pairs_fixture_requires_fusion(tmp_path):
+    """The discriminating-sweep fixture (confusable_pairs): per-modality
+    nearest-class-mean accuracy must sit well below the fused
+    (all-modalities) accuracy, because rotated class-mean pairs are collapsed
+    within each modality (data/synthetic.py::_collapse_confusable_pairs)."""
+    import pickle
+
+    from gan_ffn_tpu.data.synthetic import write_synthetic_iemocap
+
+    path = str(tmp_path / "fusion_fix.pkl")
+    priors = [0.75 ** i for i in range(6)]
+    write_synthetic_iemocap(
+        path, n_train=60, n_test=10, min_len=6, max_len=24, seed=3407,
+        confusable_pairs=2, class_priors=priors,
+    )
+    ids, spk, lab, txt, aud, vis, sent, tr, te = pickle.load(open(path, "rb"))
+    mods = {"text": txt, "audio": aud, "visual": vis}
+    X = {m: np.concatenate([mods[m][v] for v in tr]) for m in mods}
+    y = np.concatenate([np.asarray(lab[v]) for v in tr])
+
+    def nearest_mean_acc(Z):
+        mus = np.stack([Z[y == c].mean(0) for c in range(6)])
+        pred = np.argmin(((Z[:, None, :] - mus[None]) ** 2).sum(-1), axis=1)
+        return float((pred == y).mean())
+
+    fused = nearest_mean_acc(np.concatenate([X[m] for m in sorted(X)], axis=1))
+    assert fused > 0.97  # all pairs resolvable through fusion
+    for m in X:
+        # each modality has 2 of its 3 class pairs mean-collapsed
+        assert nearest_mean_acc(X[m]) < fused - 0.08, m
+    # nonuniform priors: most-frequent class must dominate the rarest
+    counts = np.bincount(y, minlength=6)
+    assert counts[0] > 2.5 * counts[5]
