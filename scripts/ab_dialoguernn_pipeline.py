@@ -82,7 +82,7 @@ def load_ref_trainer():
     return mod
 
 
-def run_torch(fixture: str, gan_epochs: int, epochs: int) -> dict:
+def run_torch(fixture: str, gan_epochs: int, epochs: int, lr: float = 1e-4) -> dict:
     ref = load_ref_trainer()
     import torch
 
@@ -118,7 +118,7 @@ def run_torch(fixture: str, gan_epochs: int, epochs: int) -> dict:
         [1.2, 0.60072, 0.38066, 0.94019, 0.67924, 0.34332]  # :738
     )
     loss_function = ref.MaskedNLLLoss(loss_weights)
-    optimizer = torch.optim.Adam(model.parameters(), lr=0.0001, weight_decay=1e-5)
+    optimizer = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-5)
     train_loader, valid_loader, test_loader = ref.get_IEMOCAP_loaders(
         fixture, batch_size=30, valid=0.1
     )
@@ -151,7 +151,7 @@ def run_torch(fixture: str, gan_epochs: int, epochs: int) -> dict:
 
 def run_jax(
     fixture: str, gan_epochs: int, epochs: int, num_layers: int = 8,
-    gan_schedule: str = "fused",
+    gan_schedule: str = "fused", lr: float = 1e-4,
 ) -> dict:
     from gan_ffn_tpu.cli.train_iemocap_dialoguernn import main
 
@@ -168,6 +168,7 @@ def run_jax(
             "--num-layers", str(num_layers),
             "--batch-size", "30",
             "--gan-schedule", gan_schedule,
+            "--lr", str(lr),
         ])
         res["total_s"] = round(time.time() - t0, 1)
     finally:
@@ -179,6 +180,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--gan-epochs", type=int, default=10)
     p.add_argument("--epochs", type=int, default=100)  # reference default (:583)
+    p.add_argument("--lr", type=float, default=1e-4,
+                   help="stage-B Adam lr, BOTH sides (reference default 1e-4; "
+                        "the converged-endpoint experiment raises it to 3e-4 "
+                        "so both sides reach the label-noise ceiling within "
+                        "the epoch budget — the reference-default dynamics "
+                        "are pinned by the matched-epoch lockstep experiment)")
     p.add_argument("--n-train", type=int, default=120)
     p.add_argument("--n-test", type=int, default=31)
     p.add_argument("--min-len", type=int, default=6)
@@ -219,12 +226,12 @@ def main():
     if not args.skip_jax:
         results["jax"] = run_jax(
             fixture, args.gan_epochs, args.epochs, num_layers=args.num_layers,
-            gan_schedule=args.jax_gan_schedule,
+            gan_schedule=args.jax_gan_schedule, lr=args.lr,
         )
         print(f"\n[jax]   best_loss {results['jax']['best_loss']} "
               f"F1 {results['jax']['f1']} ({results['jax']['total_s']}s)")
     if not args.skip_torch:
-        results["torch"] = run_torch(fixture, args.gan_epochs, args.epochs)
+        results["torch"] = run_torch(fixture, args.gan_epochs, args.epochs, lr=args.lr)
         print(f"\n[torch] best_loss {results['torch']['best_loss']} "
               f"F1 {results['torch']['f1']}")
     if "jax" in results and "torch" in results:
