@@ -8,11 +8,20 @@ on the next run — trace+lower still happens (seconds), but the compile is
 skipped.
 
 The cache key covers: a caller salt, the jax version, the device kind, the
-exact device assignment (ids, in mesh order), and a hash of the lowered
-StableHLO — so any change to the traced computation (code, shapes, dtypes,
-donation, placement) produces a new entry. Multi-device (mesh-sharded)
-executables are supported when the caller passes the mesh's devices; they
-reload onto exactly that assignment.
+exact device assignment (ids, in mesh order), a hash of the lowered
+StableHLO, AND the output pytree structure — so any change to the traced
+computation (code, shapes, dtypes, donation, placement) produces a new
+entry. Multi-device (mesh-sharded) executables are supported when the caller
+passes the mesh's devices; they reload onto exactly that assignment.
+
+The out-tree term exists because identical HLO does NOT imply an identical
+Python-level result: pytree nodes with zero array leaves (empty lists, empty
+dicts, ``()``) contribute no XLA outputs, so e.g. an eval step returning
+``(loss, preds)`` and one returning ``(loss, preds, {})`` lower to
+byte-identical modules. Deserialization rebuilds results with the out_tree
+STORED in the entry, so a collision would silently replay the old protocol
+(observed: run_epoch unpacking ``(loss, preds, attn)`` crashed on a stale
+2-tuple entry after eval steps grew an attention return).
 """
 
 from __future__ import annotations
@@ -49,6 +58,14 @@ def _cache_key(salt: str, lowered, devices: Sequence[Any], example_args) -> str:
             f"{getattr(leaf, 'shape', None)}:{getattr(leaf, 'dtype', type(leaf))};".encode()
         )
     h.update(lowered.as_text().encode())
+    # the OUTPUT pytree structure: zero-leaf containers (empty attention
+    # dicts/lists) are invisible in the HLO and the avals, but deserialized
+    # calls rebuild results with the entry's stored out_tree — two functions
+    # with identical HLO and different result protocols must not collide
+    try:
+        h.update(str(jax.tree.structure(lowered.out_info)).encode())
+    except AttributeError:  # pragma: no cover - jax without Lowered.out_info
+        pass
     return h.hexdigest()[:32]
 
 

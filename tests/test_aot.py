@@ -240,3 +240,34 @@ def test_cache_key_distinguishes_dead_args(tmp_path, monkeypatch):
     c32 = cached_compile(shape_only, (x32,), salt="dead", cache_dir=str(tmp_path))
     assert np.asarray(c32(x32)).shape == (32,)  # collided pre-fix: TypeError
     assert len(list(tmp_path.glob("*.jaxexec"))) == 2
+
+
+def test_cache_key_distinguishes_out_tree(tmp_path, monkeypatch):
+    """Regression: pytree nodes with ZERO array leaves (empty attention
+    dicts/lists) contribute no XLA outputs, so an eval step returning
+    ``(loss, preds)`` and one returning ``(loss, preds, {})`` lower to
+    byte-identical HLO with identical avals — but deserialization rebuilds
+    results with the out_tree STORED in the entry. Pre-fix the second load
+    collided with the first entry and replayed the 2-tuple protocol
+    (run_epoch's ``loss, preds, attn = eval_step(...)`` crashed on TPU where
+    the disk cache is on by default; tests/CI missed it because the CPU cache
+    is opt-in). The key now hashes the output pytree structure."""
+    monkeypatch.setenv("GANFFN_EXEC_CACHE_CPU", "1")
+    dev = jax.devices("cpu")[0]
+
+    def two_tuple(x):
+        return x.sum(), x * 2.0
+
+    def three_tuple_empty_attn(x):  # identical HLO: {} adds no outputs
+        return x.sum(), x * 2.0, {}
+
+    x = jax.device_put(jnp.ones((4, 3)), dev)
+    c2 = cached_compile(two_tuple, (x,), salt="ot", cache_dir=str(tmp_path))
+    assert len(c2(x)) == 2
+    c3 = cached_compile(
+        three_tuple_empty_attn, (x,), salt="ot", cache_dir=str(tmp_path)
+    )
+    loss, preds, attn = c3(x)  # collided pre-fix: ValueError on unpack
+    assert attn == {}
+    assert float(loss) == pytest.approx(12.0)
+    assert len(list(tmp_path.glob("*.jaxexec"))) == 2
