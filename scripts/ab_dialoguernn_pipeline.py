@@ -82,11 +82,14 @@ def load_ref_trainer():
     return mod
 
 
-def run_torch(fixture: str, gan_epochs: int, epochs: int, lr: float = 1e-4) -> dict:
+def run_torch(
+    fixture: str, gan_epochs: int, epochs: int, lr: float = 1e-4,
+    train_seed: int = 3407,
+) -> dict:
     ref = load_ref_trainer()
     import torch
 
-    torch.manual_seed(3407)  # reference seeding block (:47-54)
+    torch.manual_seed(train_seed)  # reference seeding block (:47-54)
 
     # ---- stage A: the reference's own train_GAN, unmodified ----
     D_h, gan_dropout = 100, 0.2  # train_IEMOCAP_DialogueRNN.py:655-661
@@ -151,7 +154,7 @@ def run_torch(fixture: str, gan_epochs: int, epochs: int, lr: float = 1e-4) -> d
 
 def run_jax(
     fixture: str, gan_epochs: int, epochs: int, num_layers: int = 8,
-    gan_schedule: str = "fused", lr: float = 1e-4,
+    gan_schedule: str = "fused", lr: float = 1e-4, train_seed: int = 3407,
 ) -> dict:
     from gan_ffn_tpu.cli.train_iemocap_dialoguernn import main
 
@@ -169,6 +172,7 @@ def run_jax(
             "--batch-size", "30",
             "--gan-schedule", gan_schedule,
             "--lr", str(lr),
+            "--seed", str(train_seed),
         ])
         res["total_s"] = round(time.time() - t0, 1)
     finally:
@@ -194,6 +198,12 @@ def main():
     p.add_argument("--class-spread", type=float, default=2.0)
     p.add_argument("--label-noise", type=float, default=0.25)
     p.add_argument("--seed", type=int, default=3407)
+    p.add_argument("--train-seed", type=int, default=3407,
+                   help="training-RNG seed on BOTH sides (the reference's "
+                        "seeding block / the jax CLI --seed), decoupled from "
+                        "the fixture seed: at mid-convergence budgets the "
+                        "endpoint comparison needs a cross-seed spread to "
+                        "size the cross-implementation gap against")
     p.add_argument("--skip-torch", action="store_true")
     p.add_argument("--skip-jax", action="store_true")
     p.add_argument("--jax-gan-schedule", choices=("fused", "stepwise"), default="fused")
@@ -227,11 +237,15 @@ def main():
         results["jax"] = run_jax(
             fixture, args.gan_epochs, args.epochs, num_layers=args.num_layers,
             gan_schedule=args.jax_gan_schedule, lr=args.lr,
+            train_seed=args.train_seed,
         )
         print(f"\n[jax]   best_loss {results['jax']['best_loss']} "
               f"F1 {results['jax']['f1']} ({results['jax']['total_s']}s)")
     if not args.skip_torch:
-        results["torch"] = run_torch(fixture, args.gan_epochs, args.epochs, lr=args.lr)
+        results["torch"] = run_torch(
+            fixture, args.gan_epochs, args.epochs, lr=args.lr,
+            train_seed=args.train_seed,
+        )
         print(f"\n[torch] best_loss {results['torch']['best_loss']} "
               f"F1 {results['torch']['f1']}")
     if "jax" in results and "torch" in results:
