@@ -7,6 +7,14 @@
 #
 #   python -m gan_ffn_tpu.cli.sweep --gan-epochs 85 185 5 --epochs 160
 #
+# For a synthetic fixture where the GAN-epochs budget measurably moves final
+# F1 (classes separable only through cross-modal fusion; read out at a
+# bounded stage-B budget — VALIDATION.md "Discriminating sweep"):
+#
+#   python -m gan_ffn_tpu.cli.sweep --gan-epochs 5 185 30 --epochs 135 \
+#       --synthetic --synthetic-class-spread 1.0 --synthetic-label-noise 0.25 \
+#       --synthetic-confusable-pairs 2 --synthetic-nonuniform-priors
+#
 # The reference's literal two-run form is also supported:
 
 python -m gan_ffn_tpu.cli.train_iemocap --GAN-epochs=150 --continue-train-GAN-step=0 "$@"
