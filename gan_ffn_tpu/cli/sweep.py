@@ -80,6 +80,16 @@ def main(argv=None) -> dict:
     configure_tpu_runtime()
     wait_for_device()
 
+    if args.synthetic and os.path.exists(args.data_path):
+        # the fixture-generation params describe a pickle we will NOT write —
+        # a stale file from a different regime (e.g. non-confusable) would
+        # otherwise silently produce the flat F1 column the regime flags
+        # exist to avoid
+        print(
+            f"WARNING: {args.data_path} already exists; --synthetic-* "
+            "fixture parameters are IGNORED (delete the file or point "
+            "--data-path elsewhere to regenerate)"
+        )
     if args.synthetic and not os.path.exists(args.data_path):
         priors = None
         if args.synthetic_nonuniform_priors:

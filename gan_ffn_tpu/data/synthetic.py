@@ -76,8 +76,9 @@ def _collapse_confusable_pairs(
     shared mean, ROTATING which pairs are collapsed across modalities so no
     single modality can resolve every class but any fusion of all three can.
 
-    E.g. 6 classes / 3 modalities / n_pairs=2: text cannot tell 0↔1 or 2↔3
-    apart, audio cannot tell 2↔3 or 4↔5, visual cannot tell 4↔5 or 0↔1 —
+    E.g. 6 classes / 3 modalities / n_pairs=2 (modalities iterate in sorted
+    order: audio, text, visual): audio cannot tell 0↔1 or 2↔3 apart, text
+    cannot tell 2↔3 or 4↔5, visual cannot tell 4↔5 or 0↔1 —
     every pair is resolvable in exactly ``3 - n_pairs`` modalities, so the
     downstream classifier's F1 depends on how consistently the three grafted
     generators embed the modalities into the shared fusion space. This is the

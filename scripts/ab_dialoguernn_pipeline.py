@@ -219,6 +219,7 @@ def main():
     fixture = args.fixture or os.path.join(
         tempfile.mkdtemp(prefix="ab_drnn_fix_"), "IEMOCAP_features.pkl"
     )
+    fixture = os.path.abspath(fixture)  # run_jax chdirs into a temp run dir
     if not os.path.exists(fixture):
         write_synthetic_iemocap(
             fixture, n_train=args.n_train, n_test=args.n_test,

@@ -476,12 +476,15 @@ def test_full_pipeline_f1_band(tmp_path, monkeypatch):
 
     The CPU-affordable rendition trains depth-1 encoders at lr 3e-4 for 60
     epochs on the same 120-dialogue fixture. The run is fully deterministic
-    (seed 3407, threefry, CPU f32); the observed values at round-4 HEAD are
-    weighted F1 = 76.61 and best test loss = 0.9187, so the bands are drawn
-    tight around them (F1 +/- 4.6, loss +/- 0.10) — a real dynamics
-    regression of a few F1 points anywhere in the pipeline (loaders, duels,
-    graft, masked loss, best-epoch selection) now fails the suite, while
-    platform-level float wiggle stays well inside."""
+    at a fixed jax version (seed 3407, CPU f32; NOTE the CLI runtime
+    switches the PRNG impl to rbg before any training key is drawn, so the
+    recorded values are RBG-stream products — an XLA/jax upgrade may redraw
+    dropout masks like a new seed). Observed at round-4 HEAD: weighted
+    F1 = 76.61 and best test loss = 0.9187, so the bands are drawn tight
+    around them (F1 +/- 4.6, loss +/- 0.10) — a real dynamics regression of
+    a few F1 points anywhere in the pipeline (loaders, duels, graft, masked
+    loss, best-epoch selection) now fails the suite, while platform-level
+    float wiggle stays well inside."""
     fixture = str(tmp_path / "IEMOCAP_features.pkl")
     from gan_ffn_tpu.data.synthetic import write_synthetic_iemocap
 
@@ -534,7 +537,14 @@ def test_meld_pipeline_f1_band(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)  # the CLI writes output/ to cwd
     from gan_ffn_tpu.cli.train_meld import main
 
-    res = main(["--data-path", fixture, "--epochs", "50"])
+    try:
+        res = main(["--data-path", fixture, "--epochs", "50"])
+    finally:
+        # the CLI runtime switches the session-global PRNG impl to rbg;
+        # restore the conftest's threefry so later tests' streams are stable
+        import jax
+
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
     assert 70.5 <= res["f1"] <= 79.5, res
     assert 0.9 <= float(res["best_loss"]) <= 2.2, res
 
@@ -550,8 +560,10 @@ def test_dialoguernn_pipeline_f1_band(tmp_path, monkeypatch):
     The CPU-affordable rendition: depth-1 encoders, stage A 2 epochs
     (stepwise), stage B 60 epochs at lr 3e-4 on the exact A/B fixture
     (120+31 dialogues, lengths 6-24, 25% label noise, seed 3407). The
-    calibration run of this exact configuration (2026-08-18, CPU f32,
-    threefry) landed best test loss 1.437 / weighted F1 30.20 at the
+    calibration run of this exact configuration (2026-08-18, CPU f32; the
+    CLI runtime switches the PRNG impl to rbg, so the recorded values are
+    RBG-stream products at the pinned jax version) landed best test loss
+    1.437 / weighted F1 30.20 at the
     min-loss snapshot (epoch 56) — mid-convergence on the BiModel's slow
     climb, so the F1 band is wider than the flagship's: the min-loss epoch
     can shift a few epochs across environments and nearby snapshots span F1
