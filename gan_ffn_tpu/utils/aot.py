@@ -154,6 +154,19 @@ def cached_compile(
                 os.utime(path)
             except OSError:  # pragma: no cover - entry pruned concurrently
                 pass
+            if not donate_argnums:
+                # XLA:CPU AOT entries can deserialize cleanly yet fail at
+                # DISPATCH ("Function <fusion> not found (type id: 1)") —
+                # observed driving the flagship CLI with the CPU cache
+                # opted in. For non-donating programs a first-call retry is
+                # side-effect-free, so fall back to a fresh compile and
+                # evict the bad entry. Donating programs (the big train
+                # steps) skip this BY DESIGN: a failed call may already
+                # have consumed its input buffers, making a replay unsound
+                # — which is precisely why the CPU disk cache stays opt-in
+                # (CLAUDE.md; TPU deserialization has been reliable across
+                # rounds).
+                return _first_call_fallback(compiled, lowered, path)
             return compiled
         except Exception as e:  # stale/incompatible entry: recompile
             logger.warning("executable cache load failed (%s); recompiling", e)
@@ -174,6 +187,40 @@ def cached_compile(
     except Exception as e:  # pragma: no cover - serialization unsupported
         logger.warning("executable cache store failed: %s", e)
     return compiled
+
+
+def _first_call_fallback(compiled, lowered, path: str):
+    """Wrap a cache-loaded executable so its FIRST call recovers from a
+    corrupt entry by recompiling (and evicting the entry); subsequent calls
+    dispatch to whichever executable survived, with zero wrapper cost beyond
+    one attribute read. Only used for non-donating programs (see caller)."""
+    state = {"fn": compiled, "validated": False}
+
+    def call(*args):
+        if state["validated"]:
+            return state["fn"](*args)
+        try:
+            out = state["fn"](*args)
+            # corruption usually surfaces ASYNCHRONOUSLY ("Buffer Definition
+            # Event: Error dispatching computation" raised at a later
+            # device_get, far from this call site) — block on the first
+            # call's outputs so the failure lands inside this try
+            jax.block_until_ready(out)
+        except Exception as e:
+            logger.warning(
+                "cached executable %s failed at dispatch (%s); recompiling",
+                path, e,
+            )
+            try:
+                os.remove(path)
+            except OSError:  # pragma: no cover - already pruned
+                pass
+            state["fn"] = lowered.compile()
+            out = state["fn"](*args)
+        state["validated"] = True
+        return out
+
+    return call
 
 
 def _prune_cache(cache_dir: str, keep: str) -> None:

@@ -271,3 +271,37 @@ def test_cache_key_distinguishes_out_tree(tmp_path, monkeypatch):
     assert attn == {}
     assert float(loss) == pytest.approx(12.0)
     assert len(list(tmp_path.glob("*.jaxexec"))) == 2
+
+
+def test_corrupt_cache_entry_recovers_at_first_call(tmp_path, monkeypatch):
+    """Regression: XLA:CPU AOT entries can deserialize cleanly yet fail at
+    DISPATCH (observed: 'Function bitcast_slice_fusion.1 not found' driving
+    the flagship CLI with GANFFN_EXEC_CACHE_CPU=1). For non-donating
+    programs the loader wraps the cached executable so the first call falls
+    back to a fresh compile and evicts the bad entry instead of crashing."""
+    monkeypatch.setenv("GANFFN_EXEC_CACHE_CPU", "1")
+    dev = jax.devices("cpu")[0]
+
+    def f(x):
+        return x * 3.0
+
+    x = jax.device_put(jnp.ones((4,)), dev)
+    c1 = cached_compile(f, (x,), salt="corrupt", cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(np.asarray(c1(x)), 3 * np.ones((4,)))
+    (entry,) = tmp_path.glob("*.jaxexec")
+
+    from jax.experimental import serialize_executable as se
+
+    class _BoobyTrapped:
+        def __call__(self, *args):
+            raise RuntimeError("Function bitcast_slice_fusion.1 not found")
+
+    monkeypatch.setattr(
+        se, "deserialize_and_load", lambda *a, **k: _BoobyTrapped()
+    )
+    c2 = cached_compile(f, (x,), salt="corrupt", cache_dir=str(tmp_path))
+    # first call hits the booby trap, recompiles, and still returns the result
+    np.testing.assert_array_equal(np.asarray(c2(x)), 3 * np.ones((4,)))
+    assert not entry.exists()  # the corrupt entry was evicted
+    # subsequent calls go straight to the recompiled executable
+    np.testing.assert_array_equal(np.asarray(c2(x)), 3 * np.ones((4,)))
