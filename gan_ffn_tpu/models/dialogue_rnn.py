@@ -34,6 +34,9 @@ from flax import linen as nn
 from ..nn.attention import MatchingAttention, SimpleAttention
 from ..nn.core import TorchLinear
 from ..nn.recurrent import GRUCell
+from ..ops.config import stacked_bidir_enabled
+
+NEG_INF = -1e30
 
 
 def _select_parties(q: jnp.ndarray, qm_idx: jnp.ndarray) -> jnp.ndarray:
@@ -55,6 +58,170 @@ def reverse_padded(x: jnp.ndarray, umask: jnp.ndarray) -> jnp.ndarray:
     gathered = jnp.take_along_axis(x, src[:, :, None], axis=0)
     valid = (t < lengths[None, :]).astype(x.dtype)[:, :, None]
     return gathered * valid
+
+
+def _drop(key, x, rate: float):
+    """flax ``nn.Dropout`` semantics over an explicit key (train mode)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def _stacked_gru(p, x, h, dt):
+    """Torch-gate GRU step with a leading direction axis on params/operands.
+
+    Per direction the math is exactly :class:`~..nn.recurrent.GRUCell`; the
+    einsum batches the two directions' (rows, D) x (D, 3H) matmuls into one
+    op so the scan body issues half as many instructions.
+    """
+    gi = jnp.einsum("xbd,xdh->xbh", x, p["w_ih"].astype(dt)) + p["b_ih"].astype(dt)[:, None]
+    gh = jnp.einsum("xbd,xdh->xbh", h, p["w_hh"].astype(dt)) + p["b_hh"].astype(dt)[:, None]
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+def _stacked_bidir_scan(
+    cp_f,
+    cp_r,
+    U,
+    rev_U,
+    qmask,
+    rev_qmask,
+    *,
+    D_g: int,
+    D_p: int,
+    D_e: int,
+    attention: str,
+    dropout: float,
+    rng,
+    unroll: int = 1,
+):
+    """Both DialogueRNN directions in ONE ``lax.scan`` (measured 1.39x).
+
+    The two 112-step scans of BiModel are the DialogueRNN entry's latency
+    floor: each step is a handful of tiny (30, 500)-class matmuls whose
+    per-op overhead, not FLOPs, dominates (PERF.md "Known remaining
+    headroom"). Stacking the forward and reverse cells' params leaf-wise
+    (2, ...) and scanning once halves the sequential chain — 112 steps of
+    direction-batched einsums instead of 224 steps — measured 26.3 -> 19.0
+    ms/step fwd+bwd on v5e at the entry geometry
+    (scripts/bench_bimodel_variants.py; hoisting the U-projections was also
+    measured and does NOT add on top).
+
+    Math per direction is replicated 1:1 from :class:`DialogueRNNCell`
+    (reference model.py:828-930): the direction axis only batches ops, never
+    mixes directions, so deterministic outputs match the two-scan path to
+    float noise. The p_cell input projection is computed once per dialogue
+    row and broadcast over the P duplicated party rows — bitwise-identical
+    per row to projecting the duplicated (B*P) rows. Train-mode dropout draws
+    its masks from explicit ``fold_in`` keys, so the masks differ from the
+    two-scan path's flax-lifted stream (same distribution; trajectory-level
+    equivalence is covered by the entry-point band tests).
+
+    cp_f/cp_r: the two ``dialogue_cell`` param subtrees. Returns
+    (e_f (L, B, D_e), alpha_f (L, B, L), e_b (L, B, D_e) in reversed time,
+    alpha_b (L, B, L)) — exactly the two DialogueRNN calls' outputs.
+    """
+    L, B, _ = U.shape
+    P = qmask.shape[-1]
+    dt = U.dtype
+    if dropout == 0.0:
+        rng = None  # flax Dropout(rate=0) is the identity; skip the masks
+    cp = jax.tree.map(lambda a, b: jnp.stack([a, b]), cp_f, cp_r)
+    gp, pp, ep = cp["g_cell"], cp["p_cell"], cp["e_cell"]
+    Us = jnp.stack([U, rev_U], axis=1)  # (L, 2, B, D_m)
+    qmasks = jnp.stack([qmask, rev_qmask], axis=1)  # (L, 2, B, P)
+    if rng is not None:
+        keys = jax.random.split(rng, L)
+    else:
+        keys = jnp.zeros((L, 2), dtype=jnp.uint32)  # unused
+
+    if attention == "simple":
+        att_w = cp["attention"]["scalar"]["kernel"].astype(dt)  # (2, D_g, 1)
+    else:  # "general"
+        att_w = cp["attention"]["transform"]["kernel"].astype(dt)  # (2, D_m, D_g)
+
+    def body(carry, xs):
+        g_hist, q0, e0, t = carry  # g_hist (2, L, B, D_g)
+        U_t, qmask_t, key = xs  # (2, B, ...)
+        qmask_t = qmask_t.astype(dt)
+        qm_idx = jnp.argmax(qmask_t, axis=2)  # (2, B)
+        onehot = jax.nn.one_hot(qm_idx, P, dtype=dt)
+        q0_sel = jnp.einsum("xbp,xbpd->xbd", onehot, q0)
+        g_prev = jax.lax.cond(
+            t > 0,
+            lambda: jax.lax.dynamic_slice_in_dim(
+                g_hist, jnp.maximum(t - 1, 0), 1, axis=1
+            )[:, 0],
+            lambda: jnp.zeros((2, B, D_g), dtype=dt),
+        )
+        g_ = _stacked_gru(gp, jnp.concatenate([U_t, q0_sel], axis=-1), g_prev, dt)
+        if rng is not None:
+            g_ = _drop(jax.random.fold_in(key, 0), g_, dropout)
+
+        # context over the history prefix (positions < t); zeros at t == 0
+        hist_mask = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) < t
+        if attention == "simple":
+            # SimpleAttention: scalar projection, softmax over the L axis
+            scores = jnp.einsum("xlbd,xdo->xlb", g_hist, att_w)  # (2, L, B)
+            scores = jnp.where(
+                hist_mask.T[None], scores.astype(jnp.float32), NEG_INF
+            )
+            alpha_lb = jax.nn.softmax(scores, axis=1).astype(dt)
+            c_ = jnp.einsum("xlb,xlbd->xbd", alpha_lb, g_hist)
+            alpha = jnp.transpose(alpha_lb, (0, 2, 1))  # (2, B, L)
+        else:
+            # MatchingAttention 'general': xt = U @ W, masked softmax over keys
+            xt = jnp.einsum("xbd,xdh->xbh", U_t, att_w)
+            scores = jnp.einsum("xbd,xlbd->xbl", xt, g_hist)
+            scores = jnp.where(hist_mask[None], scores.astype(jnp.float32), NEG_INF)
+            alpha = jax.nn.softmax(scores, axis=-1).astype(dt)
+            c_ = jnp.einsum("xbl,xlbd->xbd", alpha, g_hist)
+        c_ = jnp.where(t > 0, c_, 0.0)
+        alpha = jnp.where(t > 0, alpha, 0.0)
+
+        # p_cell: input rows are party-invariant — project once, broadcast
+        U_c = jnp.concatenate([U_t, c_], axis=-1)  # (2, B, D_m + D_g)
+        pgi = (
+            jnp.einsum("xbd,xdh->xbh", U_c, pp["w_ih"].astype(dt))
+            + pp["b_ih"].astype(dt)[:, None]
+        )[:, :, None, :]
+        pgh = (
+            jnp.einsum("xbpd,xdh->xbph", q0, pp["w_hh"].astype(dt))
+            + pp["b_hh"].astype(dt)[:, None, None]
+        )
+        i_r, i_z, i_n = jnp.split(pgi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(pgh, 3, axis=-1)
+        z = jax.nn.sigmoid(i_z + h_z)
+        qs_ = (1.0 - z) * jnp.tanh(i_n + jax.nn.sigmoid(i_r + h_r) * h_n) + z * q0
+        if rng is not None:
+            qs_ = _drop(jax.random.fold_in(key, 1), qs_, dropout)
+
+        qm_ = qmask_t[:, :, :, None]
+        q_ = q0 * (1.0 - qm_) + qs_ * qm_  # listener_state=False: ql_ == q0
+
+        e_in = jnp.einsum("xbp,xbpd->xbd", onehot, q_)
+        e_ = _stacked_gru(ep, e_in, e0, dt)
+        if rng is not None:
+            e_ = _drop(jax.random.fold_in(key, 2), e_, dropout)
+
+        g_hist = jax.lax.dynamic_update_slice(g_hist, g_[:, None], (0, t, 0, 0))
+        return (g_hist, q_, e_, t + 1), (e_, alpha)
+
+    carry0 = (
+        jnp.zeros((2, L, B, D_g), dtype=dt),
+        jnp.zeros((2, B, P, D_p), dtype=dt),
+        jnp.zeros((2, B, D_e), dtype=dt),
+        jnp.asarray(0, dtype=jnp.int32),
+    )
+    _, (e, alpha) = jax.lax.scan(
+        body, carry0, (Us, qmasks, keys), unroll=unroll
+    )  # e (L, 2, B, D_e), alpha (L, 2, B, L)
+    return e[:, 0], alpha[:, 0], e[:, 1], alpha[:, 1]
 
 
 class DialogueRNNCell(nn.Module):
@@ -314,13 +481,45 @@ class BiModel(nn.Module):
             deterministic=self.deterministic,
             dtype=self.dtype,
         )
-        emotions_f, alpha_f = DialogueRNN(**rnn_args, name="dialog_rnn_f")(U, qmask)
-        emotions_f = drop_rec(emotions_f)
         rev_U = reverse_padded(U, umask)
         rev_qmask = reverse_padded(qmask, umask)
-        emotions_b, alpha_b = DialogueRNN(**rnn_args, name="dialog_rnn_r")(
-            rev_U, rev_qmask
+        # Fused bidirectional scan (measured 1.39x on v5e, see
+        # _stacked_bidir_scan): same params, same per-direction math; the
+        # reference two-scan path stays for init (param creation), for the
+        # configurations the fused body doesn't cover, and as the
+        # GANFFN_STACK_BIDIR=0 / use_stacked_bidir(False) escape hatch.
+        stacked = (
+            stacked_bidir_enabled()
+            and not self.is_initializing()
+            and not self.listener_state
+            and self.context_attention in ("simple", "general")
         )
+        if stacked:
+            cp_f = self.get_variable("params", "dialog_rnn_f")["dialogue_cell"]
+            cp_r = self.get_variable("params", "dialog_rnn_r")["dialogue_cell"]
+            rng = None if self.deterministic else self.make_rng("dropout")
+            emotions_f, alpha_f, emotions_b, alpha_b = _stacked_bidir_scan(
+                cp_f,
+                cp_r,
+                U,
+                rev_U,
+                qmask,
+                rev_qmask,
+                D_g=self.D_g,
+                D_p=self.D_p,
+                D_e=self.D_e,
+                attention=self.context_attention,
+                dropout=self.dropout_rec,
+                rng=rng,
+            )
+        else:
+            emotions_f, alpha_f = DialogueRNN(**rnn_args, name="dialog_rnn_f")(
+                U, qmask
+            )
+            emotions_b, alpha_b = DialogueRNN(**rnn_args, name="dialog_rnn_r")(
+                rev_U, rev_qmask
+            )
+        emotions_f = drop_rec(emotions_f)
         emotions_b = reverse_padded(emotions_b, umask)
         emotions_b = drop_rec(emotions_b)
         emotions = jnp.concatenate([emotions_f, emotions_b], axis=-1)  # (L, B, 2D_e)

@@ -13,6 +13,11 @@ programs). Defaults come from env vars, overridable lexically::
   everywhere: the measured flagship delta is -1% (XLA already fuses the
   elementwise chains into these small matmuls well — PERF.md "Fused MLP
   kernel"). The kernel stays available for larger-d_model deployments.
+- ``GANFFN_STACK_BIDIR`` sets the BiModel fused-bidirectional-scan default
+  (not a Pallas kernel, but the same trace-time-switch contract); unset, it
+  is ON everywhere: both DialogueRNN directions run in ONE lax.scan of
+  direction-batched einsums, measured 1.39x fwd+bwd on v5e at the entry
+  geometry (models/dialogue_rnn.py::_stacked_bidir_scan, PERF.md).
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ def _default_enabled(var: str = "GANFFN_PALLAS"):
 _STATE = {
     "attention": _default_enabled("GANFFN_PALLAS"),
     "mlp": _default_enabled("GANFFN_PALLAS_MLP"),
+    "stack_bidir": _default_enabled("GANFFN_STACK_BIDIR"),
 }
 
 
@@ -37,6 +43,8 @@ def _enabled(key: str) -> bool:
     if _STATE[key] is None:
         if key == "mlp":
             _STATE[key] = False  # measured: no win at the reference geometries
+        elif key == "stack_bidir":
+            _STATE[key] = True  # measured 1.39x on TPU; math-identical per direction
         else:
             import jax
 
@@ -50,6 +58,10 @@ def pallas_attention_enabled() -> bool:
 
 def pallas_mlp_enabled() -> bool:
     return _enabled("mlp")
+
+
+def stacked_bidir_enabled() -> bool:
+    return _enabled("stack_bidir")
 
 
 @contextmanager
@@ -68,3 +80,7 @@ def use_pallas_attention(enabled: bool = True):
 
 def use_pallas_mlp(enabled: bool = True):
     return _use("mlp", enabled)
+
+
+def use_stacked_bidir(enabled: bool = True):
+    return _use("stack_bidir", enabled)

@@ -175,6 +175,68 @@ def test_bimodel_shapes_and_jit():
     assert alpha.shape == (L, B, L)
 
 
+@pytest.mark.parametrize("ctx", ["simple", "general"])
+def test_bimodel_stacked_bidir_matches_reference_path(ctx):
+    """The fused bidirectional scan (ops/config.py GANFFN_STACK_BIDIR,
+    measured 1.39x on v5e) must reproduce the two-scan reference path's four
+    outputs to float noise in deterministic mode — including ragged lengths
+    and a fully-padded dialogue column (the bucketed collate produces
+    those)."""
+    from gan_ffn_tpu.ops.config import use_stacked_bidir
+
+    D_m, D_g, D_p, D_e, D_hh, C = 10, 8, 6, 5, 7, 6
+    m = BiModel(D_m, D_g, D_p, D_e, D_hh, n_classes=C, context_attention=ctx,
+                deterministic=True)
+    rng = np.random.default_rng(11)
+    U = jnp.asarray(rng.normal(size=(L, B, D_m)).astype(np.float32))
+    qmask_np = np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=(L, B))]
+    umask_np = np.zeros((B, L), dtype=np.float32)
+    umask_np[0, :] = 1.0
+    umask_np[1, :5] = 1.0
+    qmask_np[:, 2, :] = 0.0  # column 2: fully-padded dialogue
+    qmask = jnp.asarray(qmask_np)
+    umask = jnp.asarray(umask_np)
+    params = m.init(KEY, U, qmask, umask)
+    with use_stacked_bidir(False):
+        ref = m.apply(params, U, qmask, umask)
+    with use_stacked_bidir(True):
+        got = m.apply(params, U, qmask, umask)
+    for name, a, b in zip(("log_prob", "alpha", "alpha_f", "alpha_b"), ref, got):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6, err_msg=name
+        )
+    # train mode: the fused path draws its own dropout masks (explicit
+    # fold_in keys — same distribution, different stream); it must run,
+    # stay finite, and actually be stochastic
+    mt = BiModel(D_m, D_g, D_p, D_e, D_hh, n_classes=C, context_attention=ctx,
+                 deterministic=False)
+    with use_stacked_bidir(True):
+        o1 = mt.apply(params, U, qmask, umask, rngs={"dropout": jax.random.PRNGKey(1)})[0]
+        o2 = mt.apply(params, U, qmask, umask, rngs={"dropout": jax.random.PRNGKey(2)})[0]
+    assert np.isfinite(np.asarray(o1)).all()
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_bimodel_stacked_bidir_gate_falls_back():
+    """Configs the fused body doesn't cover (listener_state, general2/concat
+    context attention) must silently take the reference path."""
+    D_m, D_g, D_p, D_e, D_hh, C = 10, 8, 6, 5, 7, 6
+    rng = np.random.default_rng(12)
+    U = jnp.asarray(rng.normal(size=(L, B, D_m)).astype(np.float32))
+    qmask = jnp.asarray(np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=(L, B))])
+    umask = jnp.asarray(np.ones((B, L), dtype=np.float32))
+    for kwargs in (
+        dict(context_attention="general2"),
+        dict(context_attention="general", listener_state=True),
+    ):
+        m = BiModel(D_m, D_g, D_p, D_e, D_hh, n_classes=C, deterministic=True,
+                    **kwargs)
+        params = m.init(KEY, U, qmask, umask)
+        log_prob = m.apply(params, U, qmask, umask)[0]
+        assert log_prob.shape == (L, B, C)
+        assert np.isfinite(np.asarray(log_prob)).all()
+
+
 @pytest.mark.slow
 def test_gan_ffn_dialoguernn_forward():
     m = GAN_FFN_DialogueRNN(n_classes=6, context_attention="general", deterministic=True)
