@@ -34,7 +34,7 @@ from flax import linen as nn
 from ..nn.attention import MatchingAttention, SimpleAttention
 from ..nn.core import TorchLinear
 from ..nn.recurrent import GRUCell
-from ..ops.config import stacked_bidir_enabled
+from ..ops.config import stack_bidir_unroll, stacked_bidir_enabled
 
 NEG_INF = -1e30
 
@@ -511,6 +511,7 @@ class BiModel(nn.Module):
                 attention=self.context_attention,
                 dropout=self.dropout_rec,
                 rng=rng,
+                unroll=stack_bidir_unroll(),
             )
         else:
             emotions_f, alpha_f = DialogueRNN(**rnn_args, name="dialog_rnn_f")(

@@ -18,6 +18,9 @@ programs). Defaults come from env vars, overridable lexically::
   is ON everywhere: both DialogueRNN directions run in ONE lax.scan of
   direction-batched einsums, measured 1.39x fwd+bwd on v5e at the entry
   geometry (models/dialogue_rnn.py::_stacked_bidir_scan, PERF.md).
+- ``GANFFN_STACK_UNROLL`` (int, default 1) sets that scan's ``unroll``
+  factor (measured on v5e by scripts/ab_stack_unroll.py before the default
+  was chosen — see the script docstring for the numbers).
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ _STATE = {
     "attention": _default_enabled("GANFFN_PALLAS"),
     "mlp": _default_enabled("GANFFN_PALLAS_MLP"),
     "stack_bidir": _default_enabled("GANFFN_STACK_BIDIR"),
+    "stack_unroll": int(os.environ.get("GANFFN_STACK_UNROLL", "1")),
 }
 
 
@@ -62,6 +66,14 @@ def pallas_mlp_enabled() -> bool:
 
 def stacked_bidir_enabled() -> bool:
     return _enabled("stack_bidir")
+
+
+def stack_bidir_unroll() -> int:
+    return _STATE["stack_unroll"]
+
+
+def use_stack_unroll(n: int):
+    return _use("stack_unroll", n)
 
 
 @contextmanager

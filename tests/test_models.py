@@ -217,6 +217,30 @@ def test_bimodel_stacked_bidir_matches_reference_path(ctx):
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
 
 
+def test_bimodel_stacked_bidir_unroll_invariant():
+    """GANFFN_STACK_UNROLL (ops/config.py) only changes how lax.scan tiles
+    the fused body (measured on v5e: unroll>1 loses, scripts/ab_stack_unroll
+    .py) — deterministic outputs must be identical for any factor."""
+    from gan_ffn_tpu.ops.config import use_stack_unroll, use_stacked_bidir
+
+    D_m, D_g, D_p, D_e, D_hh, C = 10, 8, 6, 5, 7, 6
+    m = BiModel(D_m, D_g, D_p, D_e, D_hh, n_classes=C, deterministic=True)
+    rng = np.random.default_rng(13)
+    U = jnp.asarray(rng.normal(size=(L, B, D_m)).astype(np.float32))
+    qmask = jnp.asarray(np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=(L, B))])
+    umask = np.zeros((B, L), dtype=np.float32)
+    for b, n in enumerate([L, L - 3, 2]):
+        umask[b, :n] = 1
+    umask = jnp.asarray(umask)
+    params = m.init(KEY, U, qmask, umask)
+    with use_stacked_bidir(True):
+        base = m.apply(params, U, qmask, umask)
+        with use_stack_unroll(3):  # non-divisor of L exercises the remainder
+            got = m.apply(params, U, qmask, umask)
+    for name, a, b in zip(("log_prob", "alpha", "alpha_f", "alpha_b"), base, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
 def test_bimodel_stacked_bidir_gate_falls_back():
     """Configs the fused body doesn't cover (listener_state, general2/concat
     context attention) must silently take the reference path."""
