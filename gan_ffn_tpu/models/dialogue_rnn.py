@@ -166,13 +166,15 @@ def _stacked_bidir_scan(
         # context over the history prefix (positions < t); zeros at t == 0
         hist_mask = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) < t
         if attention == "simple":
-            # SimpleAttention: scalar projection, softmax over the L axis
+            # SimpleAttention: scalar projection, softmax over the L axis.
+            # alpha stays float32 (SimpleAttention never casts it back —
+            # attention.py:52-54); only the pool einsum runs in compute dtype.
             scores = jnp.einsum("xlbd,xdo->xlb", g_hist, att_w)  # (2, L, B)
             scores = jnp.where(
                 hist_mask.T[None], scores.astype(jnp.float32), NEG_INF
             )
-            alpha_lb = jax.nn.softmax(scores, axis=1).astype(dt)
-            c_ = jnp.einsum("xlb,xlbd->xbd", alpha_lb, g_hist)
+            alpha_lb = jax.nn.softmax(scores, axis=1)  # (2, L, B) float32
+            c_ = jnp.einsum("xlb,xlbd->xbd", alpha_lb.astype(dt), g_hist)
             alpha = jnp.transpose(alpha_lb, (0, 2, 1))  # (2, B, L)
         else:
             # MatchingAttention 'general': xt = U @ W, masked softmax over keys

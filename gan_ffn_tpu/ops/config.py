@@ -35,11 +35,18 @@ def _default_enabled(var: str = "GANFFN_PALLAS"):
     return None  # decide from backend / measurement on first query
 
 
+def _default_unroll() -> int:
+    try:
+        return max(1, int(os.environ.get("GANFFN_STACK_UNROLL", "1")))
+    except ValueError:  # malformed override must not break `import gan_ffn_tpu`
+        return 1
+
+
 _STATE = {
     "attention": _default_enabled("GANFFN_PALLAS"),
     "mlp": _default_enabled("GANFFN_PALLAS_MLP"),
     "stack_bidir": _default_enabled("GANFFN_STACK_BIDIR"),
-    "stack_unroll": int(os.environ.get("GANFFN_STACK_UNROLL", "1")),
+    "stack_unroll": _default_unroll(),
 }
 
 

@@ -129,6 +129,13 @@ def cached_compile(
 
     key = _cache_key(salt, lowered, devices, example_args)
     path = os.path.join(cache_dir, f"{key}.jaxexec")
+    if os.path.exists(path + ".bad"):
+        # this exact program corrupted on a previous load (see
+        # _first_call_fallback): without the sentinel the cache would
+        # oscillate forever — evict, recompile in-process, next fresh
+        # process re-stores the same corrupt-on-reload bytes, repeat
+        logger.warning("executable cache key %s marked bad; compiling in-process", key)
+        return lowered.compile()
     if os.path.exists(path):
         try:
             import pickle
@@ -154,18 +161,24 @@ def cached_compile(
                 os.utime(path)
             except OSError:  # pragma: no cover - entry pruned concurrently
                 pass
-            if not donate_argnums:
+            if devices[0].platform == "cpu":
                 # XLA:CPU AOT entries can deserialize cleanly yet fail at
                 # DISPATCH ("Function <fusion> not found (type id: 1)") —
-                # observed driving the flagship CLI with the CPU cache
-                # opted in. For non-donating programs a first-call retry is
-                # side-effect-free, so fall back to a fresh compile and
-                # evict the bad entry. Donating programs (the big train
-                # steps) skip this BY DESIGN: a failed call may already
-                # have consumed its input buffers, making a replay unsound
-                # — which is precisely why the CPU disk cache stays opt-in
-                # (CLAUDE.md; TPU deserialization has been reliable across
-                # rounds).
+                # observed driving the flagship and DialogueRNN CLIs with
+                # the CPU cache opted in. Recovery is CPU-scoped: TPU
+                # deserialization has been reliable across rounds, and on
+                # TPU a transient tunnel error at first call must not evict
+                # a good entry and block the process in a 10-15 min
+                # recompile. Two recovery shapes:
+                # - non-donating: wrap so the FIRST REAL call retries (a
+                #   failed call is side-effect-free, replay is sound);
+                # - donating (the big train steps): a failed real call may
+                #   already have consumed its input buffers, so validate
+                #   EAGERLY at load time on zero-filled dummies we own.
+                if donate_argnums:
+                    return _validate_donating(
+                        compiled, lowered, path, example_args
+                    )
                 return _first_call_fallback(compiled, lowered, path)
             return compiled
         except Exception as e:  # stale/incompatible entry: recompile
@@ -189,12 +202,76 @@ def cached_compile(
     return compiled
 
 
+def _evict_bad(path: str, err: Exception) -> None:
+    """Remove a corrupt cache entry and leave a ``.bad`` sentinel so later
+    processes skip load AND store for its key (without it the cache
+    oscillates: evict, recompile in-process, next fresh process re-stores
+    the same corrupt-on-reload bytes, repeat)."""
+    try:
+        os.remove(path)
+    except OSError:  # pragma: no cover - already pruned
+        pass
+    try:
+        with open(path + ".bad", "w") as f:
+            f.write(str(err))
+    except OSError:  # pragma: no cover - cache dir removed
+        pass
+
+
+def _zeros_like_input(leaf):
+    """A zero-filled array with the shape/dtype/placement of an example arg
+    — donated validation calls consume these instead of caller buffers."""
+    import numpy as np
+
+    if isinstance(leaf, jax.Array):
+        zeros = jax.numpy.zeros(leaf.shape, leaf.dtype)
+        return jax.device_put(zeros, leaf.sharding)
+    arr = np.asarray(leaf)
+    return jax.numpy.zeros(arr.shape, arr.dtype)
+
+
+def _validate_donating(compiled, lowered, path: str, example_args):
+    """Eagerly validate a cache-loaded DONATING executable by running it once
+    on zero-filled dummies shaped/placed like ``example_args``: donation
+    makes a failed real call unsound to replay (input buffers may already be
+    consumed), so the dummy call takes that risk with buffers we own. On
+    failure the entry is evicted + sentinel-marked and the program recompiles
+    in-process — the same recovery the first-call wrapper gives non-donating
+    programs. CPU-only (see caller); costs one wasted step execution per
+    load, acceptable for the opt-in CPU cache."""
+    try:
+        dummies = jax.tree.map(_zeros_like_input, example_args)
+    except Exception as e:  # exotic input type we can't fabricate — play safe
+        logger.warning(
+            "cannot build validation dummies for %s (%s); compiling in-process",
+            path, e,
+        )
+        return lowered.compile()
+    try:
+        out = compiled(*dummies)
+        # corruption surfaces ASYNCHRONOUSLY on the outputs' buffer
+        # definition events — block so the failure lands inside this try
+        jax.block_until_ready(out)
+        return compiled
+    except Exception as e:
+        logger.warning(
+            "cached executable %s failed validation (%s); recompiling", path, e
+        )
+        _evict_bad(path, e)
+        return lowered.compile()
+
+
 def _first_call_fallback(compiled, lowered, path: str):
     """Wrap a cache-loaded executable so its FIRST call recovers from a
-    corrupt entry by recompiling (and evicting the entry); subsequent calls
-    dispatch to whichever executable survived, with zero wrapper cost beyond
-    one attribute read. Only used for non-donating programs (see caller)."""
-    state = {"fn": compiled, "validated": False}
+    corrupt entry by recompiling (evicting the entry and leaving a ``.bad``
+    sentinel so later processes skip load AND store for this key);
+    subsequent calls dispatch to whichever executable survived, with zero
+    wrapper cost beyond one attribute read. Only used for non-donating
+    CPU-loaded programs (see caller)."""
+    # `lowered` lives in the mutable state so it can be dropped once the
+    # first call validates — the closure must not pin the traced module
+    # (jaxpr + StableHLO text) for the lifetime of the executable
+    state = {"fn": compiled, "validated": False, "lowered": lowered}
 
     def call(*args):
         if state["validated"]:
@@ -211,13 +288,11 @@ def _first_call_fallback(compiled, lowered, path: str):
                 "cached executable %s failed at dispatch (%s); recompiling",
                 path, e,
             )
-            try:
-                os.remove(path)
-            except OSError:  # pragma: no cover - already pruned
-                pass
-            state["fn"] = lowered.compile()
+            _evict_bad(path, e)
+            state["fn"] = state["lowered"].compile()
             out = state["fn"](*args)
         state["validated"] = True
+        state["lowered"] = None
         return out
 
     return call

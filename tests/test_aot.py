@@ -305,3 +305,49 @@ def test_corrupt_cache_entry_recovers_at_first_call(tmp_path, monkeypatch):
     assert not entry.exists()  # the corrupt entry was evicted
     # subsequent calls go straight to the recompiled executable
     np.testing.assert_array_equal(np.asarray(c2(x)), 3 * np.ones((4,)))
+    # a .bad sentinel marks the key so later processes neither load NOR
+    # re-store it — without it the cache oscillates: the next fresh process
+    # would re-serialize the same corrupt-on-reload bytes forever
+    assert list(tmp_path.glob("*.jaxexec.bad"))
+    c3 = cached_compile(f, (x,), salt="corrupt", cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(np.asarray(c3(x)), 3 * np.ones((4,)))
+    assert not list(tmp_path.glob("*.jaxexec"))  # sentinel blocked the re-store
+
+
+def test_corrupt_donating_entry_validated_at_load(tmp_path, monkeypatch):
+    """Donating programs (the big train steps) cannot retry a failed REAL
+    call — donation may already have consumed the caller's buffers — so
+    cache-loaded donating executables are validated EAGERLY at load time on
+    zero-filled dummies the loader owns (observed in the field: a corrupt
+    cached classifier train step crashed the DialogueRNN CLI at
+    run_epoch's device_get, past any per-call recovery)."""
+    monkeypatch.setenv("GANFFN_EXEC_CACHE_CPU", "1")
+    dev = jax.devices("cpu")[0]
+
+    def f(x):
+        return x + 1.0
+
+    x = jax.device_put(jnp.ones((4,)), dev)
+    c1 = cached_compile(
+        f, (x,), salt="corrupt-donate", donate_argnums=(0,), cache_dir=str(tmp_path)
+    )
+    np.testing.assert_array_equal(np.asarray(c1(x)), 2 * np.ones((4,)))
+    (entry,) = tmp_path.glob("*.jaxexec")
+
+    from jax.experimental import serialize_executable as se
+
+    class _BoobyTrapped:
+        def __call__(self, *args):
+            raise RuntimeError("Function wrapped_broadcast.20 not found")
+
+    monkeypatch.setattr(se, "deserialize_and_load", lambda *a, **k: _BoobyTrapped())
+    x2 = jax.device_put(jnp.ones((4,)), dev)
+    c2 = cached_compile(
+        f, (x2,), salt="corrupt-donate", donate_argnums=(0,), cache_dir=str(tmp_path)
+    )
+    # validation already happened at load: the returned executable is the
+    # in-process recompile, the entry is evicted and sentinel-marked, and
+    # the caller's buffer was NOT consumed by the failed validation call
+    assert not entry.exists()
+    assert list(tmp_path.glob("*.jaxexec.bad"))
+    np.testing.assert_array_equal(np.asarray(c2(x2)), 2 * np.ones((4,)))

@@ -205,6 +205,16 @@ def test_bimodel_stacked_bidir_matches_reference_path(ctx):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6, err_msg=name
         )
+    # bf16: output DTYPES must also match the reference path (simple's
+    # alpha stays float32 — attention.py:52-54 never casts it back; the
+    # stacked path once bf16-rounded it)
+    U16 = U.astype(jnp.bfloat16)
+    with use_stacked_bidir(False):
+        ref16 = m.apply(params, U16, qmask, umask)
+    with use_stacked_bidir(True):
+        got16 = m.apply(params, U16, qmask, umask)
+    for name, a, b in zip(("log_prob", "alpha", "alpha_f", "alpha_b"), ref16, got16):
+        assert a.dtype == b.dtype, (name, a.dtype, b.dtype)
     # train mode: the fused path draws its own dropout masks (explicit
     # fold_in keys — same distribution, different stream); it must run,
     # stay finite, and actually be stochastic
@@ -243,7 +253,13 @@ def test_bimodel_stacked_bidir_unroll_invariant():
 
 def test_bimodel_stacked_bidir_gate_falls_back():
     """Configs the fused body doesn't cover (listener_state, general2/concat
-    context attention) must silently take the reference path."""
+    context attention) must silently take the reference path. Pinned by
+    EQUALITY against a use_stacked_bidir(False) run — if the gate ever
+    admitted such a config to _stacked_bidir_scan, it would run the wrong
+    math on those params (e.g. general2's bias/tanh/renormalize dropped)
+    yet still produce finite correctly-shaped output."""
+    from gan_ffn_tpu.ops.config import use_stacked_bidir
+
     D_m, D_g, D_p, D_e, D_hh, C = 10, 8, 6, 5, 7, 6
     rng = np.random.default_rng(12)
     U = jnp.asarray(rng.normal(size=(L, B, D_m)).astype(np.float32))
@@ -256,9 +272,13 @@ def test_bimodel_stacked_bidir_gate_falls_back():
         m = BiModel(D_m, D_g, D_p, D_e, D_hh, n_classes=C, deterministic=True,
                     **kwargs)
         params = m.init(KEY, U, qmask, umask)
-        log_prob = m.apply(params, U, qmask, umask)[0]
+        with use_stacked_bidir(True):
+            log_prob = m.apply(params, U, qmask, umask)[0]
         assert log_prob.shape == (L, B, C)
         assert np.isfinite(np.asarray(log_prob)).all()
+        with use_stacked_bidir(False):
+            ref = m.apply(params, U, qmask, umask)[0]
+        np.testing.assert_array_equal(np.asarray(log_prob), np.asarray(ref))
 
 
 @pytest.mark.slow
