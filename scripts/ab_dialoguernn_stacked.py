@@ -18,6 +18,11 @@ Decision protocol: if `stacked` beats `reference` by more than the block
 spread, GANFFN_STACK_BIDIR stays default-ON and PERF.md records the numbers;
 a regression flips the default OFF (the integration is a pure trace-time
 switch either way).
+
+Result (hosted v5e, 2026-08-18, 4 blocks x 10 steps): reference median
+50.55 ms/step (40.1k utt/s) vs stacked 42.81 (47.4k) — **1.18x end-to-end**,
+per-block spread < 0.3% on both paths; stacked also compiled 2.3x faster
+(111.8 s vs 252.4 s). Decision: default stays ON.
 """
 
 from __future__ import annotations
