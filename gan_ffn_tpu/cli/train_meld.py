@@ -36,12 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tensorboard", action="store_true", default=False)
     p.add_argument("--tb-grad-histograms", choices=("epoch", "batch"), default="epoch",
                    help="gradient-histogram cadence under --tensorboard: 'epoch' samples "
-                        "one batch per epoch; 'batch' matches the reference's per-batch "
-                        "logging (train_MELD.py:83-85) at the cost of a second backward "
-                        "pass and a sync per batch. Batch-cadence histograms are "
-                        "a re-estimate: grads recomputed at the POST-update "
-                        "params with a fresh dropout mask, not the applied "
-                        "gradients")
+                        "one batch per epoch (a fresh-dropout-mask re-estimate at the "
+                        "post-epoch params); 'batch' matches the reference's per-batch "
+                        "logging (train_MELD.py:83-85) — the train step returns the "
+                        "gradients it APPLIED (pre-update params, the step's own "
+                        "dropout mask: the reference's param.grad exactly) at the "
+                        "cost of a sync per batch")
     p.add_argument("--classify", default="emotion", help="emotion or sentiment")
     # framework additions
     p.add_argument("--data-path", default="data/meld/MELD_features_raw.pkl")
@@ -106,17 +106,21 @@ def main(argv=None) -> dict:
         return out[0], {"alpha": out[1]}
 
     optimizer = torch_adam(args.lr, weight_decay=args.l2)
+    # batch-cadence histograms consume the grads the step applied, so the
+    # step must return them (train/classifier.py train_grads)
+    train_grads = args.tensorboard and args.tb_grad_histograms == "batch"
     train_step, eval_step = make_classifier_steps(
         apply_train, apply_eval, optimizer, n_classes, loss_weights=None,
         aot_cache=True,
         eval_attentions=True,
+        train_grads=train_grads,
     )
     state = init_classifier_state(params, optimizer)
 
     from ..utils.tensorboard import TBWriter
 
     writer = TBWriter("./tensorboard", enabled=args.tensorboard)
-    if args.tensorboard:
+    if args.tensorboard and args.tb_grad_histograms == "epoch":
         from ..train.classifier import make_grad_fn
 
         grad_fn = make_grad_fn(apply_train, n_classes, None)
@@ -127,21 +131,16 @@ def main(argv=None) -> dict:
         start_time = time.time()
         rng, sub = jax.random.split(rng)
         on_batch = None
-        if writer.enabled and args.tb_grad_histograms == "batch":
+        if train_grads:
             # reference cadence: per-parameter grad histograms every batch
-            # (train_MELD.py:83-85)
-            # NOTE: a re-estimate, not the applied grads — recomputed at the
-            # post-update params with an independent dropout key (see --help)
-            rng, gkey = jax.random.split(rng)
-
-            def on_batch(i, st, arrays, _e=e, _k=gkey):
-                writer.add_param_histograms(
-                    grad_fn(st["params"], jax.random.fold_in(_k, i), arrays), _e
-                )
+            # (train_MELD.py:83-85); the train step hands the hook the
+            # gradients it just applied
+            def on_batch(i, st, arrays, grads, _e=e):
+                writer.add_param_histograms(grads, _e)
 
         state, train_res = run_epoch(
             train_loader, state, train_step=train_step, rng=sub, with_visual=False,
-            on_batch=on_batch,
+            on_batch=on_batch, train_grads=train_grads,
         )
         valid_res = run_epoch(
             valid_loader, state["params"], eval_step=eval_step, with_visual=False,

@@ -75,6 +75,7 @@ def make_classifier_steps(
     loss_weights: Optional[jnp.ndarray] = None,
     aot_cache: bool = False,
     eval_attentions: bool = False,
+    train_grads: bool = False,
 ):
     """Build (train_step, eval_step).
 
@@ -84,6 +85,14 @@ def make_classifier_steps(
     Both steps return ``(loss, preds (B*L,))``; labels/masks stay on host in
     the epoch loop. Loss/pred flattening matches the reference: log-probs are
     transposed batch-first then flattened (train_IEMOCAP.py:154-158).
+
+    ``train_grads=True`` makes the train step additionally return the
+    gradients the update APPLIED — ``(state, loss, preds, grads)`` — computed
+    at the pre-update params with the step's own dropout mask, i.e. exactly
+    the reference's ``param.grad`` at histogram time (train_IEMOCAP.py:
+    166-168). The grads are the ``value_and_grad`` result the step already
+    computes, so the extra cost is only the output buffers (fetched lazily by
+    whoever consumes them, e.g. the ``--tb-grad-histograms batch`` hook).
 
     ``eval_attentions=True`` declares that ``apply_eval`` returns
     ``(log_prob, attn)`` where ``attn`` is any pytree of attention weights
@@ -118,6 +127,8 @@ def make_classifier_steps(
         updates, opt = optimizer.update(grads, state["opt"], state["params"])
         updates = jax.tree.map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(state["params"], updates)
+        if train_grads:
+            return {"params": params, "opt": opt}, loss, preds, grads
         return {"params": params, "opt": opt}, loss, preds
 
     if eval_attentions:
@@ -138,7 +149,10 @@ def make_classifier_steps(
 
         return (
             ShapeDispatchingAOT(
-                train_step, salt="clf_train", donate_argnums=(0,), sig_argnums=(1, 2, 3)
+                train_step,
+                salt="clf_train_grads" if train_grads else "clf_train",
+                donate_argnums=(0,),
+                sig_argnums=(1, 2, 3),
             ),
             ShapeDispatchingAOT(eval_step, salt="clf_eval", sig_argnums=(1,)),
         )

@@ -95,6 +95,7 @@ def run_epoch(
     lr_scale: Optional[float] = None,
     on_batch: Optional[Callable] = None,
     eval_attentions: bool = False,
+    train_grads: bool = False,
 ):
     """Run one epoch. With ``train_step`` set, trains (threading state through
     steps) and returns (state, EpochResult); otherwise evaluates with
@@ -110,6 +111,13 @@ def run_epoch(
     ``--tensorboard`` per-batch grad histograms, train_IEMOCAP.py:166-168).
     A hook that fetches device values forces a per-batch sync, giving up this
     loop's async dispatch; that is the documented cost of per-batch cadence.
+
+    ``train_grads`` declares the train step's return protocol explicitly
+    (mirroring ``make_classifier_steps``): True means ``train_step`` returns
+    ``(state, loss, preds, grads)`` where ``grads`` are the gradients that
+    step APPLIED, and the hook is called as
+    ``on_batch(batch_index, state, arrays, grads)`` — the reference's
+    ``param.grad`` semantics for per-batch histograms.
     """
     # Device values are accumulated WITHOUT per-batch host syncs (the
     # reference forces a device->host transfer after every batch,
@@ -127,12 +135,17 @@ def run_epoch(
     for batch, arrays in prefetch_to_device(loader, with_visual=with_visual):
         if train_step is not None:
             rng, sub = jax.random.split(rng)
-            if lr_scale is None:
-                state, loss, preds = train_step(state, sub, arrays)
+            step_args = (state, sub, arrays) if lr_scale is None else (
+                state, sub, arrays, lr_scale
+            )
+            if train_grads:
+                state, loss, preds, grads = train_step(*step_args)
+                if on_batch is not None:
+                    on_batch(n_batches, state, arrays, grads)
             else:
-                state, loss, preds = train_step(state, sub, arrays, lr_scale)
-            if on_batch is not None:
-                on_batch(n_batches, state, arrays)
+                state, loss, preds = train_step(*step_args)
+                if on_batch is not None:
+                    on_batch(n_batches, state, arrays)
         else:
             if eval_attentions:
                 loss, preds, attn = eval_step(state, arrays)

@@ -190,6 +190,85 @@ def test_lr_schedule_decay_scales_updates():
 
 
 @pytest.mark.slow
+def test_train_grads_returns_applied_gradients():
+    """train_grads=True: the step's 4th return IS the gradient the update
+    applied — jax.grad of the same loss at the PRE-update params with the
+    step's own dropout key (the reference's ``param.grad`` at histogram
+    time, train_IEMOCAP.py:166-168) — and the state transition is unchanged
+    from the plain step. run_epoch(train_grads=True) hands those grads to
+    the on_batch hook."""
+    from gan_ffn_tpu.train.classifier import make_grad_fn
+
+    model = GAN_FFN(n_classes=6, gen_num_layers=1)
+    batch = _gan_batch()
+    batch["label"] = jnp.asarray(np.random.default_rng(2).integers(0, 6, size=(B, L)))
+    batch["umask"] = jnp.asarray(np.ones((B, L), dtype=np.float32))
+    params = model.init(
+        jax.random.PRNGKey(3), batch["audio"], batch["visual"], batch["text"]
+    )["params"]
+
+    def apply_train(p, rng, b):
+        return model.apply(
+            {"params": p}, b["audio"], b["visual"], b["text"],
+            valid_len=b["valid_len"], deterministic=False, rngs={"dropout": rng},
+        )[0]
+
+    def apply_eval(p, b):
+        return model.apply(
+            {"params": p}, b["audio"], b["visual"], b["text"],
+            valid_len=b["valid_len"], deterministic=True,
+        )[0]
+
+    opt = torch_adam(1e-3, weight_decay=0.008)
+    plain_step, _ = make_classifier_steps(apply_train, apply_eval, opt, 6)
+    grads_step, _ = make_classifier_steps(
+        apply_train, apply_eval, opt, 6, train_grads=True
+    )
+
+    def copy(t):
+        return jax.tree.map(lambda x: jnp.array(np.asarray(x)), t)
+
+    rng = jax.random.PRNGKey(4)
+    s1, loss1, preds1 = plain_step(init_classifier_state(copy(params), opt), rng, batch)
+    s2, loss2, preds2, grads = grads_step(
+        init_classifier_state(copy(params), opt), rng, batch
+    )
+    # identical training semantics
+    np.testing.assert_array_equal(np.asarray(loss1), np.asarray(loss2))
+    np.testing.assert_array_equal(np.asarray(preds1), np.asarray(preds2))
+    for a, b in zip(jax.tree.leaves(s1["params"]), jax.tree.leaves(s2["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the returned grads are the pre-update grads under the SAME dropout key
+    expected = make_grad_fn(apply_train, 6)(params, rng, batch)
+    assert jax.tree.structure(grads) == jax.tree.structure(expected)
+    for g, ge in zip(jax.tree.leaves(grads), jax.tree.leaves(expected)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ge), rtol=1e-5, atol=1e-7)
+
+    # run_epoch plumbs them to the hook (one extra arg vs the plain protocol)
+    from gan_ffn_tpu.data.loaders import Batch
+
+    rng_np = np.random.default_rng(7)
+    loader = [Batch(
+        text=rng_np.normal(size=(L, B, 100)).astype(np.float32),
+        audio=rng_np.normal(size=(L, B, 100)).astype(np.float32),
+        visual=rng_np.normal(size=(L, B, 512)).astype(np.float32),
+        qmask=np.eye(2, dtype=np.float32)[rng_np.integers(0, 2, size=(L, B))],
+        umask=np.ones((B, L), dtype=np.float32),
+        label=rng_np.integers(0, 6, size=(B, L)),
+        vids=["d0", "d1"],
+        n_real=B,
+    )]
+    captured = []
+    state, _ = run_epoch(
+        loader, init_classifier_state(copy(params), opt), train_step=grads_step,
+        rng=jax.random.PRNGKey(5), train_grads=True,
+        on_batch=lambda i, st, arrays, g: captured.append(g),
+    )
+    assert len(captured) == 1
+    assert jax.tree.structure(captured[0]) == jax.tree.structure(params)
+
+
+@pytest.mark.slow
 def test_eval_attentions_surfaced_in_epoch_result():
     """eval_attentions=True plumbs the model's attention weights through the
     eval step into EpochResult.attentions (the reference's 7th return,
