@@ -9,10 +9,11 @@ measures the flagship GAN_FFN classifier train step (bench.py geometry —
 bf16, Pallas attention per the shipped default) twice in ONE process,
 
   - ``layernorm``: the shipped step, unmodified;
-  - ``identity``:  every ``nn/core.py::LayerNorm`` patched AT TRACE TIME to
-    define its scale/bias params (identical param tree, identical Adam work)
-    but return its input unchanged — removing the LN statistics from both
-    the forward and backward pass.
+  - ``identity``:  the ``LayerNorm`` name used by every encoder-layer site
+    (nn/transformer.py) rebound AT TRACE TIME to a module that defines the
+    same scale/bias params (identical param tree, identical Adam work) but
+    returns its input unchanged — removing the LN statistics from both the
+    forward and backward pass.
 
 The wall-clock delta is an UPPER BOUND on what any fused LN+residual epilogue
 kernel could save end-to-end: a fused kernel cannot beat removing the op
