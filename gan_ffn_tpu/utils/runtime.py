@@ -38,26 +38,57 @@ def configure_tpu_runtime(
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def wait_for_device(attempts: int = 6, delay_s: float = 10.0):
-    """Probe backend initialization with retries.
+def wait_for_device(
+    attempts: int = 6, delay_s: float = 10.0, hang_warn_s: float = 120.0
+):
+    """Probe backend initialization with retries and a hang watchdog.
 
     Hosted TPU plugins can fail to register transiently while the previous
     process still holds the device; a plain ``jax.devices()`` then raises and
     jax memoizes the failure. Clear the backend cache and retry.
+
+    The other observed failure mode (2026-08-19) is a HANG, not an error: the
+    tunneled backend blocks inside ``jax.devices()`` indefinitely (0 CPU, no
+    output), so the retry loop never gets a chance to fire and the process
+    looks dead. That cannot be interrupted safely from Python — but a daemon
+    watchdog thread prints a periodic diagnostic to stderr (every
+    ``hang_warn_s``) so a wedged bench/CLI run is identifiable from its log
+    instead of silent.
     """
+    import sys
+    import threading
     import time
 
-    last = None
-    for attempt in range(attempts):
-        try:
-            return jax.devices()
-        except RuntimeError as e:  # pragma: no cover - hardware-timing path
-            last = e
-            try:
-                from jax._src import xla_bridge
+    done = threading.Event()
+    t0 = time.monotonic()
 
-                xla_bridge._clear_backends()
-            except Exception:
-                pass
-            time.sleep(delay_s)
-    raise last
+    def _watchdog():  # pragma: no cover - exercised via unit test with tiny delays
+        while not done.wait(hang_warn_s):
+            print(
+                f"[gan_ffn_tpu] device init still pending after "
+                f"{time.monotonic() - t0:.0f}s — the hosted tunnel may be "
+                "wedged (jax.devices() is blocking in backend init; retries "
+                "cannot fire until it returns). Waiting...",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    if hang_warn_s > 0:
+        threading.Thread(target=_watchdog, daemon=True).start()
+    last = None
+    try:
+        for attempt in range(attempts):
+            try:
+                return jax.devices()
+            except RuntimeError as e:  # pragma: no cover - hardware-timing path
+                last = e
+                try:
+                    from jax._src import xla_bridge
+
+                    xla_bridge._clear_backends()
+                except Exception:
+                    pass
+                time.sleep(delay_s)
+        raise last
+    finally:
+        done.set()

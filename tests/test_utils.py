@@ -107,3 +107,33 @@ def test_tensorboard_gradient_histograms(tmp_path):
     assert tags == {"fc.kernel", "fc.bias", "encoder.layers_0.scale"}
     assert len(acc.Histograms("fc.kernel")) == 2
     assert "test: accuracy/loss" in acc.Tags()["scalars"]
+
+
+def test_wait_for_device_watchdog_reports_hang(monkeypatch, capsys):
+    """A blocking jax.devices() (the 2026-08-19 wedged-tunnel mode) must leave
+    periodic stderr diagnostics instead of hanging silently; the result still
+    comes through once the backend responds."""
+    import time
+
+    from gan_ffn_tpu.utils import runtime
+
+    sentinel = ["dev0"]
+
+    def slow_devices():
+        time.sleep(0.35)
+        return sentinel
+
+    monkeypatch.setattr(runtime.jax, "devices", slow_devices)
+    out = runtime.wait_for_device(attempts=1, delay_s=0.0, hang_warn_s=0.1)
+    assert out is sentinel
+    err = capsys.readouterr().err
+    assert "device init still pending" in err
+
+
+def test_wait_for_device_no_watchdog_noise_when_fast(monkeypatch, capsys):
+    from gan_ffn_tpu.utils import runtime
+
+    sentinel = ["dev0"]
+    monkeypatch.setattr(runtime.jax, "devices", lambda: sentinel)
+    assert runtime.wait_for_device(hang_warn_s=5.0) is sentinel
+    assert "device init still pending" not in capsys.readouterr().err
