@@ -193,9 +193,15 @@ def main(argv=None) -> dict:
     loss_weights = jnp.asarray(IEMOCAP_LOSS_WEIGHTS) if args.class_weight else None
     optimizer = torch_adam(args.lr, weight_decay=args.l2)
     apply_train, apply_eval = make_gan_ffn_apply_fns(model, eval_attentions=True)
+    from ..utils.tensorboard import TBWriter
+
+    writer = TBWriter("./tensorboard", enabled=args.tensorboard)
     # batch-cadence histograms consume the grads the step applied, so the
-    # step must return them (train/classifier.py train_grads)
-    train_grads = args.tensorboard and args.tb_grad_histograms == "batch"
+    # step must return them (train/classifier.py train_grads). Gate on
+    # writer.enabled, not args.tensorboard: a TBWriter whose backend failed
+    # to import silently no-ops, and the grads-returning step would pay a
+    # fresh compile (distinct AOT salt) + a per-batch hook for nothing.
+    train_grads = writer.enabled and args.tb_grad_histograms == "batch"
     train_step, eval_step = make_classifier_steps(
         apply_train, apply_eval, optimizer, n_classes, loss_weights,
         aot_cache=True,  # fresh processes skip the compile (utils/aot.py)
@@ -203,15 +209,12 @@ def main(argv=None) -> dict:
         train_grads=train_grads,
     )
     state = init_classifier_state(params, optimizer)
-    if args.tensorboard and args.tb_grad_histograms == "epoch":
+    if writer.enabled and args.tb_grad_histograms == "epoch":
         from ..train.classifier import make_grad_fn
 
         grad_fn = make_grad_fn(apply_train, n_classes, loss_weights)
 
     print("=" * 15, "data loaded", "=" * 15)
-    from ..utils.tensorboard import TBWriter
-
-    writer = TBWriter("./tensorboard", enabled=args.tensorboard)
     best = None  # (loss, labels, preds, masks)
     rng = jax.random.PRNGKey(args.seed + 2)
     for e in range(args.epochs):

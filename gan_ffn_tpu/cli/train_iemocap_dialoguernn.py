@@ -184,9 +184,14 @@ def main(argv=None) -> dict:
 
     loss_weights = jnp.asarray(IEMOCAP_LOSS_WEIGHTS) if args.class_weight else None
     optimizer = torch_adam(args.lr, weight_decay=args.l2)
+    from ..utils.tensorboard import TBWriter
+
+    writer = TBWriter("./tensorboard", enabled=args.tensorboard)
     # batch-cadence histograms consume the grads the step applied, so the
-    # step must return them (train/classifier.py train_grads)
-    train_grads = args.tensorboard and args.tb_grad_histograms == "batch"
+    # step must return them (train/classifier.py train_grads). Gate on
+    # writer.enabled: a no-op TBWriter must not select the grads-returning
+    # step (distinct AOT salt -> fresh compile) for histograms it drops.
+    train_grads = writer.enabled and args.tb_grad_histograms == "batch"
     train_step, eval_step = make_classifier_steps(
         apply_train, apply_eval, optimizer, n_classes, loss_weights,
         aot_cache=True,  # the deep recurrent program costs ~215 s to compile
@@ -195,10 +200,7 @@ def main(argv=None) -> dict:
     )
     state = init_classifier_state(params, optimizer)
 
-    from ..utils.tensorboard import TBWriter
-
-    writer = TBWriter("./tensorboard", enabled=args.tensorboard)
-    if args.tensorboard and args.tb_grad_histograms == "epoch":
+    if writer.enabled and args.tb_grad_histograms == "epoch":
         from ..train.classifier import make_grad_fn
 
         grad_fn = make_grad_fn(apply_train, n_classes, loss_weights)

@@ -59,16 +59,32 @@ def wait_for_device(
     import threading
     import time
 
+    if attempts < 1:
+        raise ValueError(f"wait_for_device: attempts must be >= 1, got {attempts}")
+
     done = threading.Event()
     t0 = time.monotonic()
+    # (attempt index, True while inside jax.devices()) — lets the watchdog
+    # distinguish a wedged in-call hang from a between-retry sleep, so the
+    # diagnostic doesn't claim "retries cannot fire" while they are firing.
+    progress = {"attempt": 0, "in_call": False}
 
     def _watchdog():  # pragma: no cover - exercised via unit test with tiny delays
         while not done.wait(hang_warn_s):
+            if progress["in_call"]:
+                detail = (
+                    f"jax.devices() is blocking in backend init on attempt "
+                    f"{progress['attempt'] + 1}/{attempts} — the hosted tunnel "
+                    "may be wedged (retries cannot fire until it returns)"
+                )
+            else:
+                detail = (
+                    f"attempt {progress['attempt'] + 1}/{attempts} raised; "
+                    "retrying after the backoff sleep"
+                )
             print(
                 f"[gan_ffn_tpu] device init still pending after "
-                f"{time.monotonic() - t0:.0f}s — the hosted tunnel may be "
-                "wedged (jax.devices() is blocking in backend init; retries "
-                "cannot fire until it returns). Waiting...",
+                f"{time.monotonic() - t0:.0f}s — {detail}. Waiting...",
                 file=sys.stderr,
                 flush=True,
             )
@@ -78,9 +94,12 @@ def wait_for_device(
     last = None
     try:
         for attempt in range(attempts):
+            progress["attempt"] = attempt
             try:
+                progress["in_call"] = True
                 return jax.devices()
             except RuntimeError as e:  # pragma: no cover - hardware-timing path
+                progress["in_call"] = False
                 last = e
                 try:
                     from jax._src import xla_bridge

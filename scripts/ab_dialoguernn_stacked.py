@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import statistics
 import sys
 import time
 
@@ -118,34 +117,14 @@ def main():
         print(f"[compile] {name:9s} {time.perf_counter() - t0:7.1f} s", flush=True)
         paths[name] = (step_once, n_utt)
 
-    results = {n: [] for n in paths}
-    for block in range(args.blocks):
-        for name, (step_once, n_utt) in paths.items():
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                loss = step_once()
-            jax.block_until_ready(loss)
-            ms = (time.perf_counter() - t0) * 1e3 / args.steps
-            results[name].append(ms)
-            print(f"[block {block}] {name:9s} {ms:7.2f} ms/step "
-                  f"({n_utt / (ms / 1e3):,.0f} utt/s)", flush=True)
+    from ab_common import ab_summary, run_interleaved
 
-    ref = statistics.median(results["reference"])
-    stk = statistics.median(results["stacked"])
-    n_utt = paths["stacked"][1]
-    print(json.dumps({
-        "bench": "dialoguernn_train_step_stacked_ab",
-        "L": args.bucket_len, "B": args.batch_size,
-        "dtype": "float32" if args.fp32 else "bfloat16",
-        "blocks": args.blocks, "steps_per_block": args.steps,
-        "reference": {"median_ms": round(ref, 3),
-                      "blocks": [round(x, 3) for x in results["reference"]],
-                      "utt_per_s": round(n_utt / (ref / 1e3))},
-        "stacked": {"median_ms": round(stk, 3),
-                    "blocks": [round(x, 3) for x in results["stacked"]],
-                    "utt_per_s": round(n_utt / (stk / 1e3))},
-        "speedup": round(ref / stk, 4),
-    }))
+    results = run_interleaved(paths, args.blocks, args.steps)
+    print(json.dumps(ab_summary(
+        "dialoguernn_train_step_stacked_ab", args.bucket_len, args.batch_size,
+        args.fp32, args.blocks, args.steps, results, paths,
+        ratio_key="speedup", numerator="reference", denominator="stacked",
+    )))
 
 
 if __name__ == "__main__":

@@ -40,7 +40,6 @@ from __future__ import annotations
 import argparse
 import contextlib
 import json
-import statistics
 import sys
 import time
 
@@ -137,7 +136,7 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     args = p.parse_args()
 
-    import jax
+    from ab_common import ab_summary, run_interleaved
 
     paths = {}
     for name, ablate in (("layernorm", False), ("identity", True)):
@@ -146,34 +145,12 @@ def main():
         print(f"[compile] {name:9s} {time.perf_counter() - t0:7.1f} s", flush=True)
         paths[name] = (step_once, n_utt)
 
-    results = {n: [] for n in paths}
-    for block in range(args.blocks):
-        for name, (step_once, n_utt) in paths.items():
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                loss = step_once()
-            jax.block_until_ready(loss)
-            ms = (time.perf_counter() - t0) * 1e3 / args.steps
-            results[name].append(ms)
-            print(f"[block {block}] {name:9s} {ms:7.2f} ms/step "
-                  f"({n_utt / (ms / 1e3):,.0f} utt/s)", flush=True)
-
-    ln = statistics.median(results["layernorm"])
-    ident = statistics.median(results["identity"])
-    n_utt = paths["layernorm"][1]
-    print(json.dumps({
-        "bench": "flagship_layernorm_ablation",
-        "L": args.bucket_len, "B": args.batch_size,
-        "dtype": "float32" if args.fp32 else "bfloat16",
-        "blocks": args.blocks, "steps_per_block": args.steps,
-        "layernorm": {"median_ms": round(ln, 3),
-                      "blocks": [round(x, 3) for x in results["layernorm"]],
-                      "utt_per_s": round(n_utt / (ln / 1e3))},
-        "identity": {"median_ms": round(ident, 3),
-                     "blocks": [round(x, 3) for x in results["identity"]],
-                     "utt_per_s": round(n_utt / (ident / 1e3))},
-        "speedup_bound": round(ln / ident, 4),
-    }))
+    results = run_interleaved(paths, args.blocks, args.steps)
+    print(json.dumps(ab_summary(
+        "flagship_layernorm_ablation", args.bucket_len, args.batch_size,
+        args.fp32, args.blocks, args.steps, results, paths,
+        ratio_key="speedup_bound", numerator="layernorm", denominator="identity",
+    )))
 
 
 if __name__ == "__main__":

@@ -33,7 +33,6 @@ from __future__ import annotations
 import argparse
 import contextlib
 import json
-import statistics
 import sys
 import time
 
@@ -155,34 +154,14 @@ def main():
         print(f"[compile] {name:9s} {time.perf_counter() - t0:7.1f} s", flush=True)
         paths[name] = (step_once, n_utt)
 
-    results = {n: [] for n in paths}
-    for block in range(args.blocks):
-        for name, (step_once, n_utt) in paths.items():
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                loss = step_once()
-            jax.block_until_ready(loss)
-            ms = (time.perf_counter() - t0) * 1e3 / args.steps
-            results[name].append(ms)
-            print(f"[block {block}] {name:9s} {ms:7.2f} ms/step "
-                  f"({n_utt / (ms / 1e3):,.0f} utt/s)", flush=True)
+    from ab_common import ab_summary, run_interleaved
 
-    full = statistics.median(results["matchatt"])
-    ident = statistics.median(results["identity"])
-    n_utt = paths["matchatt"][1]
-    print(json.dumps({
-        "bench": "dialoguernn_matchatt_ablation",
-        "L": args.bucket_len, "B": args.batch_size,
-        "dtype": "float32" if args.fp32 else "bfloat16",
-        "blocks": args.blocks, "steps_per_block": args.steps,
-        "matchatt": {"median_ms": round(full, 3),
-                     "blocks": [round(x, 3) for x in results["matchatt"]],
-                     "utt_per_s": round(n_utt / (full / 1e3))},
-        "identity": {"median_ms": round(ident, 3),
-                     "blocks": [round(x, 3) for x in results["identity"]],
-                     "utt_per_s": round(n_utt / (ident / 1e3))},
-        "speedup_bound": round(full / ident, 4),
-    }))
+    results = run_interleaved(paths, args.blocks, args.steps)
+    print(json.dumps(ab_summary(
+        "dialoguernn_matchatt_ablation", args.bucket_len, args.batch_size,
+        args.fp32, args.blocks, args.steps, results, paths,
+        ratio_key="speedup_bound", numerator="matchatt", denominator="identity",
+    )))
 
 
 if __name__ == "__main__":

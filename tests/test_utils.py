@@ -128,6 +128,34 @@ def test_wait_for_device_watchdog_reports_hang(monkeypatch, capsys):
     assert out is sentinel
     err = capsys.readouterr().err
     assert "device init still pending" in err
+    # the blocked-in-call diagnostic, not the raising-retry one
+    assert "blocking in backend init" in err
+
+
+def test_wait_for_device_watchdog_distinguishes_raising_retries(
+    monkeypatch, capsys
+):
+    """When jax.devices() RAISES repeatedly (the transient registration mode),
+    the watchdog must report that retries are firing — not claim the call is
+    wedged in backend init."""
+    from gan_ffn_tpu.utils import runtime
+
+    def raising_devices():
+        raise RuntimeError("backend not registered yet")
+
+    monkeypatch.setattr(runtime.jax, "devices", raising_devices)
+    with pytest.raises(RuntimeError, match="not registered"):
+        runtime.wait_for_device(attempts=3, delay_s=0.15, hang_warn_s=0.1)
+    err = capsys.readouterr().err
+    assert "retrying after the backoff sleep" in err
+    assert "blocking in backend init" not in err
+
+
+def test_wait_for_device_rejects_non_positive_attempts():
+    from gan_ffn_tpu.utils import runtime
+
+    with pytest.raises(ValueError, match="attempts"):
+        runtime.wait_for_device(attempts=0)
 
 
 def test_wait_for_device_no_watchdog_noise_when_fast(monkeypatch, capsys):
