@@ -1,0 +1,102 @@
+"""Minimal HTTP inference server over an exported serving artifact.
+
+The deploy-side counterpart of ``cli/export.py`` — a dependency-free
+(stdlib ``http.server`` + jax) reference server for the StableHLO artifact.
+The reference framework has no serving story at all; this closes the
+train -> export -> serve pipeline end to end.
+
+    python -m gan_ffn_tpu.cli.serve --artifact gan_ffn.stablehlo --port 8000
+
+API (JSON over HTTP):
+- ``GET /healthz`` -> ``{"status": "ok", "model": ..., "buckets": [...]}``
+- ``POST /predict`` with body ``{"audio": [[[...]]], "visual": [[[...]]],
+  "text": [[[...]]], "valid_len": optional int}`` — each tensor a nested
+  (L, B, D) list — returns ``{"classes": [[...]], "class_names": [[...]]}``
+  with per-dialogue columns (length-B lists of length-L lists).
+
+Throughput-critical callers should batch to the exported batch size; the
+server pads smaller requests (serving.ServingClassifier.log_probs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..serving import ServingClassifier
+
+
+def make_handler(clf: ServingClassifier):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "model": clf.meta.get("model"),
+                    "buckets": list(clf.buckets),
+                    "batch_size": clf.batch_size,
+                    "label_names": list(clf.label_names),
+                })
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length).decode("utf-8"))
+                audio = np.asarray(req["audio"], np.float32)
+                visual = np.asarray(req["visual"], np.float32)
+                text = np.asarray(req["text"], np.float32)
+                valid_len = req.get("valid_len")
+                ids = clf.predict(audio, visual, text, valid_len)
+                names = [[clf.label_names[c] for c in ids[:, j]]
+                         for j in range(ids.shape[1])]
+                self._send(200, {
+                    "classes": ids.T.tolist(),  # per-dialogue rows
+                    "class_names": names,
+                })
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._send(400, {"error": str(e)})
+
+        def log_message(self, fmt, *a):  # quiet by default; errors still raise
+            pass
+
+    return Handler
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Serve a GAN_FFN artifact over HTTP")
+    p.add_argument("--artifact", default="gan_ffn.stablehlo")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    clf = ServingClassifier.load(args.artifact)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(clf))
+    print(f"serving {args.artifact} ({clf.meta.get('model')}, "
+          f"buckets {list(clf.buckets)}) on http://{args.host}:{server.server_port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
