@@ -8,11 +8,15 @@ train -> export -> serve pipeline end to end.
     python -m gan_ffn_tpu.cli.serve --artifact gan_ffn.stablehlo --port 8000
 
 API (JSON over HTTP):
-- ``GET /healthz`` -> ``{"status": "ok", "model": ..., "buckets": [...]}``
-- ``POST /predict`` with body ``{"audio": [[[...]]], "visual": [[[...]]],
-  "text": [[[...]]], "valid_len": optional int}`` — each tensor a nested
-  (L, B, D) list — returns ``{"classes": [[...]], "class_names": [[...]]}``
-  with per-dialogue columns (length-B lists of length-L lists).
+- ``GET /healthz`` -> ``{"status": "ok", "model": ..., "family": ...,
+  "inputs": [...], "buckets": [...]}``
+- ``POST /predict`` with one JSON key per artifact input (the ``inputs``
+  list from ``/healthz``; e.g. ``audio``/``visual``/``text`` for the
+  gan_ffn family, plus ``qmask``/``umask`` for gan_ffn_dialoguernn,
+  ``text``/``qmask``/``umask`` for meld_lstm) plus optional ``valid_len``
+  — features/qmask nested (L, B, D) lists, umask (B, L) — returns
+  ``{"classes": [[...]], "class_names": [[...]]}`` with per-dialogue
+  columns (length-B lists of length-L lists).
 
 Throughput-critical callers should batch to the exported batch size; the
 server pads smaller requests (serving.ServingClassifier.log_probs).
@@ -44,6 +48,8 @@ def make_handler(clf: ServingClassifier):
                 self._send(200, {
                     "status": "ok",
                     "model": clf.meta.get("model"),
+                    "family": clf.family,
+                    "inputs": list(clf.input_names),
                     "buckets": list(clf.buckets),
                     "batch_size": clf.batch_size,
                     "label_names": list(clf.label_names),
@@ -58,11 +64,10 @@ def make_handler(clf: ServingClassifier):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length).decode("utf-8"))
-                audio = np.asarray(req["audio"], np.float32)
-                visual = np.asarray(req["visual"], np.float32)
-                text = np.asarray(req["text"], np.float32)
-                valid_len = req.get("valid_len")
-                ids = clf.predict(audio, visual, text, valid_len)
+                tensors = [
+                    np.asarray(req[name], np.float32) for name in clf.input_names
+                ]
+                ids = clf.predict(*tensors, valid_len=req.get("valid_len"))
                 names = [[clf.label_names[c] for c in ids[:, j]]
                          for j in range(ids.shape[1])]
                 self._send(200, {

@@ -16,10 +16,16 @@ is intended for:
   into one artifact blob. Shape polymorphism keeps the weights in the
   artifact exactly once (~20 MB/layer-config) instead of once per served
   geometry.
-- :class:`ServingClassifier` loads that blob and serves predictions with
-  zero dependencies on this package: deserialization and execution need
-  only ``jax`` (and the artifact). No flax, no model code, no checkpoint —
-  the artifact is the unit you ship to the fleet.
+- :func:`export_dialoguernn_classifier` and :func:`export_meld_classifier`
+  do the same for the other two entry-point models (``GAN_FFN_DialogueRNN``
+  — the full BiModel scan stack exports shape-polymorphically — and
+  ``MELDLSTMModel``), so every trained classifier family has the same
+  deployment story. The artifact records its input signature (a "family"),
+  and the loader adapts.
+- :class:`ServingClassifier` loads any of those blobs and serves
+  predictions with zero dependencies on this package: deserialization and
+  execution need only ``jax`` (and the artifact). No flax, no model code,
+  no checkpoint — the artifact is the unit you ship to the fleet.
 
 Execution of the polymorphic function still specializes per concrete shape
 (XLA compiles static programs), so the loader QUANTIZES request shapes by
@@ -28,7 +34,14 @@ default — time padded up to the training loaders' bucket grid
 recommended batch size — bounding the number of compilations a server ever
 pays. Attention masks keys at ``valid_len`` (nn/transformer.py:10-12,87-89),
 so time padding cannot leak into real rows; batch padding is embarrassingly
-parallel. Quantization is a serve-side policy (``quantize=False`` runs exact
+parallel. For the DialogueRNN family the forward scan is causal and the
+reverse scan + att2 are driven by per-dialogue ``umask`` lengths
+(models/dialogue_rnn.py), so zero-masked time padding is also
+output-preserving. ``MELDLSTMModel``'s backward LSTM direction READS future
+timesteps regardless of mask (replicating the reference's unpacked
+nn.LSTM, model.py:543), so its artifact quantizes the BATCH axis only
+(``time_quantize=False`` in the metadata) — time runs at exact request
+length. Quantization is a serve-side policy (``quantize=False`` runs exact
 shapes), not baked into the artifact.
 
 The export uses the pure-XLA attention path rather than the Pallas kernel so
@@ -62,6 +75,21 @@ ARTIFACT_VERSION = 1
 
 # IEMOCAP emotion order (dataloader.py:15 via data/datasets.py label_names)
 DEFAULT_LABEL_NAMES = ("happy", "sad", "neutral", "angry", "excited", "frustrated")
+# MELD emotion order (data/datasets.py MELDDataset.emotion_names)
+MELD_LABEL_NAMES = ("neutral", "surprise", "fear", "sadness", "joy", "disgust", "anger")
+
+# Input kinds: "feat"/"qmask" are time-major rank-3 (L, B, dim); "umask" is
+# batch-first rank-2 (B, L). Padding added by shape quantization is zeros,
+# which for qmask/umask means "no party / not a real utterance".
+_RANK = {"feat": 3, "qmask": 3, "umask": 2}
+
+
+def _default_inputs_gan_ffn(d_audio: int, d_visual: int, d_text: int):
+    return [
+        {"name": "audio", "kind": "feat", "dim": d_audio},
+        {"name": "visual", "kind": "feat", "dim": d_visual},
+        {"name": "text", "kind": "feat", "dim": d_text},
+    ]
 
 
 def _pack(meta: Dict[str, Any], entries: Dict[str, bytes]) -> bytes:
@@ -107,6 +135,71 @@ def _unpack(blob: bytes) -> Tuple[Dict[str, Any], Dict[str, bytes]]:
     return meta, entries
 
 
+def _shape_for(kind: str, dim: Optional[int], L, B):
+    if kind == "feat" or kind == "qmask":
+        return (L, B, dim)
+    if kind == "umask":
+        return (B, L)
+    raise ValueError(f"unknown input kind {kind!r}")
+
+
+def _export(
+    model,
+    fwd,
+    inputs,
+    *,
+    family: str,
+    has_valid_len: bool,
+    time_quantize: bool,
+    max_len: int,
+    batch_size: int,
+    buckets: Sequence[int],
+    platforms: Sequence[str],
+    label_names: Sequence[str],
+) -> bytes:
+    """Shared exporter: lower ``fwd`` shape-polymorphically and pack it.
+
+    ``fwd`` takes the family's tensors (plus ``valid_len`` when
+    ``has_valid_len``) and returns log-probs ``(L, B, C)``. Kernels are
+    pinned to the pure-XLA paths so one artifact runs on every exported
+    platform.
+    """
+    from .ops.config import use_pallas_attention, use_pallas_mlp
+
+    if buckets and max(buckets) > max_len:
+        raise ValueError(f"buckets {tuple(buckets)} exceed max_len {max_len}")
+
+    L, B = jax.export.symbolic_shape(
+        "L, B", constraints=(f"L <= {max_len}", "L >= 1", "B >= 1")
+    )
+    args = [
+        jax.ShapeDtypeStruct(_shape_for(s["kind"], s.get("dim"), L, B), jnp.float32)
+        for s in inputs
+    ]
+    if has_valid_len:
+        args.append(jax.ShapeDtypeStruct((), jnp.int32))
+    with use_pallas_attention(False), use_pallas_mlp(False):
+        exp = jax.export.export(jax.jit(fwd), platforms=list(platforms))(*args)
+
+    meta = {
+        "version": ARTIFACT_VERSION,
+        "model": type(model).__name__,
+        "family": family,
+        "inputs": list(inputs),
+        "has_valid_len": bool(has_valid_len),
+        "time_quantize": bool(time_quantize),
+        "max_len": int(max_len),
+        "batch_size": int(batch_size),
+        "buckets": sorted(int(b) for b in buckets),
+        "platforms": list(platforms),
+        "dims": {s["name"]: s["dim"] for s in inputs if s["kind"] == "feat"},
+        "n_classes": int(getattr(model, "n_classes", len(label_names))),
+        "label_names": list(label_names),
+        "jax_version": jax.__version__,
+    }
+    return _pack(meta, {"main": exp.serialize()})
+
+
 def export_classifier(
     model,
     params,
@@ -120,7 +213,7 @@ def export_classifier(
     d_text: int = 100,
     label_names: Sequence[str] = DEFAULT_LABEL_NAMES,
 ) -> bytes:
-    """Export ``model``'s deterministic forward with ``params`` baked in.
+    """Export ``GAN_FFN``'s deterministic forward with ``params`` baked in.
 
     One shape-polymorphic StableHLO function, multi-platform. The exported
     signature is ``(audio (L,B,100) f32, visual (L,B,512) f32, text
@@ -129,10 +222,6 @@ def export_classifier(
     ``B >= 1``. ``batch_size``/``buckets`` are recorded as the loader's
     shape-quantization grid, not baked into the function.
     """
-    from .ops.config import use_pallas_attention, use_pallas_mlp
-
-    if max(buckets) > max_len:
-        raise ValueError(f"buckets {buckets} exceed max_len {max_len}")
     params = jax.device_get(params)  # bake host copies, not device refs
 
     def fwd(audio, visual, text, valid_len):
@@ -146,35 +235,106 @@ def export_classifier(
         )
         return log_prob
 
-    L, B = jax.export.symbolic_shape(
-        "L, B", constraints=(f"L <= {max_len}", "L >= 1", "B >= 1")
+    return _export(
+        model, fwd, _default_inputs_gan_ffn(d_audio, d_visual, d_text),
+        family="gan_ffn", has_valid_len=True, time_quantize=True,
+        max_len=max_len, batch_size=batch_size, buckets=buckets,
+        platforms=platforms, label_names=label_names,
     )
-    args = (
-        jax.ShapeDtypeStruct((L, B, d_audio), jnp.float32),
-        jax.ShapeDtypeStruct((L, B, d_visual), jnp.float32),
-        jax.ShapeDtypeStruct((L, B, d_text), jnp.float32),
-        jax.ShapeDtypeStruct((), jnp.int32),
-    )
-    with use_pallas_attention(False), use_pallas_mlp(False):
-        exp = jax.export.export(jax.jit(fwd), platforms=list(platforms))(*args)
 
-    meta = {
-        "version": ARTIFACT_VERSION,
-        "model": type(model).__name__,
-        "max_len": int(max_len),
-        "batch_size": int(batch_size),
-        "buckets": sorted(int(b) for b in buckets),
-        "platforms": list(platforms),
-        "dims": {"audio": d_audio, "visual": d_visual, "text": d_text},
-        "n_classes": int(getattr(model, "n_classes", len(label_names))),
-        "label_names": list(label_names),
-        "jax_version": jax.__version__,
-    }
-    return _pack(meta, {"main": exp.serialize()})
+
+def export_dialoguernn_classifier(
+    model,
+    params,
+    *,
+    max_len: int = 112,
+    batch_size: int = 30,
+    buckets: Sequence[int] = (32, 64, 96, 112),
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    d_audio: int = 100,
+    d_visual: int = 512,
+    d_text: int = 100,
+    n_parties: int = 2,
+    label_names: Sequence[str] = DEFAULT_LABEL_NAMES,
+) -> bytes:
+    """Export ``GAN_FFN_DialogueRNN`` (generators + full BiModel scan stack).
+
+    Signature ``(audio, visual, text, qmask (L,B,P), umask (B,L),
+    valid_len) -> log_prob (L,B,C)``. The whole recurrent stack —
+    forward/reverse DialogueRNN scans, masked reversal, att2 — lowers
+    shape-polymorphically. Time quantization is output-preserving here
+    because the forward scan is causal and the reverse scan + att2 read
+    per-dialogue lengths from ``umask`` (models/dialogue_rnn.py:45-57,146);
+    padded rows carry ``umask = 0``.
+    """
+    params = jax.device_get(params)
+    if getattr(model, "deterministic", True) is not True:
+        model = model.clone(deterministic=True)  # serve-side forward is eval-mode
+
+    def fwd(audio, visual, text, qmask, umask, valid_len):
+        log_prob, *_ = model.apply(
+            {"params": params}, audio, visual, text, qmask, umask,
+            valid_len=valid_len,
+        )
+        return log_prob
+
+    inputs = _default_inputs_gan_ffn(d_audio, d_visual, d_text) + [
+        {"name": "qmask", "kind": "qmask", "dim": n_parties},
+        {"name": "umask", "kind": "umask", "dim": None},
+    ]
+    return _export(
+        model, fwd, inputs,
+        family="gan_ffn_dialoguernn", has_valid_len=True, time_quantize=True,
+        max_len=max_len, batch_size=batch_size, buckets=buckets,
+        platforms=platforms, label_names=label_names,
+    )
+
+
+def export_meld_classifier(
+    model,
+    params,
+    *,
+    max_len: int = 512,
+    batch_size: int = 30,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    n_parties: int = 9,
+    label_names: Sequence[str] = MELD_LABEL_NAMES,
+) -> bytes:
+    """Export ``MELDLSTMModel`` — ``(text (L,B,D_m), qmask (L,B,9),
+    umask (B,L)) -> log_prob (L,B,C)``.
+
+    No time-bucket grid: the model's backward LSTM direction reads future
+    timesteps regardless of mask (reference model.py:543 runs an unpacked
+    nn.LSTM over the padded batch), so time padding would change real rows.
+    The loader therefore runs exact request lengths and quantizes the batch
+    axis only (``time_quantize=False``). ``max_len`` is just a sanity bound
+    — the model has no positional table.
+    """
+    params = jax.device_get(params)
+
+    def fwd(text, qmask, umask):
+        log_prob, *_ = model.apply(
+            {"params": params}, text, qmask, umask, deterministic=True
+        )
+        return log_prob
+
+    inputs = [
+        {"name": "text", "kind": "feat", "dim": int(model.D_m)},
+        {"name": "qmask", "kind": "qmask", "dim": n_parties},
+        {"name": "umask", "kind": "umask", "dim": None},
+    ]
+    return _export(
+        model, fwd, inputs,
+        family="meld_lstm", has_valid_len=False, time_quantize=False,
+        max_len=max_len, batch_size=batch_size, buckets=(),
+        platforms=platforms, label_names=label_names,
+    )
 
 
 class ServingClassifier:
-    """Model-code-free inference over an :func:`export_classifier` artifact.
+    """Model-code-free inference over an exported serving artifact
+    (any family: :func:`export_classifier`,
+    :func:`export_dialoguernn_classifier`, :func:`export_meld_classifier`).
 
     Needs only ``jax`` — no flax, no gan_ffn_tpu models, no checkpoint.
     Thread-safe after construction (the deserialized function is immutable;
@@ -184,7 +344,8 @@ class ServingClassifier:
     bucket/batch grid so a server compiles at most
     ``len(buckets) x ceil(max_B / batch_size)`` distinct programs;
     ``quantize=False`` runs exact request shapes (one compile per distinct
-    shape — fine for offline use, compile churn in production).
+    shape — fine for offline use, compile churn in production). Artifacts
+    with ``time_quantize = False`` (MELD) always run exact time lengths.
     """
 
     def __init__(self, meta: Dict[str, Any], entries: Dict[str, bytes], *,
@@ -192,6 +353,13 @@ class ServingClassifier:
         if meta.get("version") != ARTIFACT_VERSION:
             raise ValueError(f"unsupported artifact version {meta.get('version')!r}")
         self.meta = meta
+        self.family: str = meta.get("family", "gan_ffn")
+        self.inputs = meta.get("inputs") or _default_inputs_gan_ffn(
+            meta["dims"]["audio"], meta["dims"]["visual"], meta["dims"]["text"]
+        )
+        self.input_names: Tuple[str, ...] = tuple(s["name"] for s in self.inputs)
+        self.has_valid_len: bool = meta.get("has_valid_len", True)
+        self.time_quantize: bool = meta.get("time_quantize", True)
         self.max_len: int = meta["max_len"]
         self.batch_size: int = meta["batch_size"]
         self.buckets: Tuple[int, ...] = tuple(meta["buckets"])
@@ -214,46 +382,71 @@ class ServingClassifier:
     def _quantized_shape(self, L: int, B: int) -> Tuple[int, int]:
         if not self.quantize:
             return L, B
-        Lq = next((b for b in self.buckets if L <= b), None)
-        if Lq is None:  # between the largest bucket and the hard max
-            Lq = self.max_len
+        Lq = L
+        if self.time_quantize:
+            Lq = next((b for b in self.buckets if L <= b), None)
+            if Lq is None:  # between the largest bucket and the hard max
+                Lq = self.max_len
         Bq = max(self.batch_size, math.ceil(B / self.batch_size) * self.batch_size)
         return Lq, Bq
 
-    def log_probs(
-        self,
-        audio: np.ndarray,
-        visual: np.ndarray,
-        text: np.ndarray,
-        valid_len: Optional[int] = None,
-    ) -> np.ndarray:
-        """(L, B, D_*) float arrays -> (L, B, n_classes) float32 log-probs.
+    def log_probs(self, *tensors: np.ndarray, valid_len: Optional[int] = None) -> np.ndarray:
+        """Family input tensors -> (L, B, n_classes) float32 log-probs.
 
+        ``tensors`` are the artifact's inputs in order (``self.input_names``):
+        ``(audio, visual, text)`` for gan_ffn, plus ``(qmask, umask)`` for
+        gan_ffn_dialoguernn, ``(text, qmask, umask)`` for meld_lstm. Features
+        and qmask are time-major ``(L, B, dim)``; umask is ``(B, L)``.
         ``valid_len`` defaults to the input's L (reference semantics: the
         batch max length, nn/transformer.py:12). Padding added by shape
-        quantization is sliced back off before returning.
+        quantization is zeros (umask/qmask zero = not a real utterance) and
+        is sliced back off before returning.
         """
-        audio, visual, text = (np.asarray(a, np.float32) for a in (audio, visual, text))
-        if not (audio.ndim == visual.ndim == text.ndim == 3):
-            raise ValueError("audio/visual/text must be rank-3 (L, B, D) arrays")
-        L, B = audio.shape[0], audio.shape[1]
-        if visual.shape[:2] != (L, B) or text.shape[:2] != (L, B):
-            raise ValueError("audio/visual/text leading dims (L, B) must agree")
+        if len(tensors) != len(self.inputs):
+            raise ValueError(
+                f"{self.family} artifact takes {len(self.inputs)} tensors "
+                f"{self.input_names}, got {len(tensors)}"
+            )
+        arrs = [np.asarray(a, np.float32) for a in tensors]
+        for a, s in zip(arrs, self.inputs):
+            if a.ndim != _RANK[s["kind"]]:
+                raise ValueError(
+                    f"{'/'.join(self.input_names)} tensors must be rank-3 "
+                    f"(L, B, D) time-major (umask rank-2 (B, L)); "
+                    f"{s['name']} has rank {a.ndim}"
+                )
+        L, B = arrs[0].shape[0], arrs[0].shape[1]
+        for a, s in zip(arrs, self.inputs):
+            want = (B, L) if s["kind"] == "umask" else (L, B)
+            if a.shape[:2] != want:
+                raise ValueError(
+                    f"input leading dims must agree: expected {s['name']} to "
+                    f"start {want}, got {a.shape[:2]}"
+                )
+            if s["kind"] != "umask" and s.get("dim") and a.shape[2] != s["dim"]:
+                raise ValueError(
+                    f"{s['name']} last dim must be {s['dim']}, got {a.shape[2]}"
+                )
         if L > self.max_len:
             raise ValueError(f"sequence length {L} exceeds exported max_len {self.max_len}")
-        vl = np.int32(L if valid_len is None else valid_len)
         Lq, Bq = self._quantized_shape(L, B)
-        pad = lambda a: np.pad(a, ((0, Lq - L), (0, Bq - B), (0, 0)))
-        out = self._fn.call(pad(audio), pad(visual), pad(text), vl)
+        padded = [
+            np.pad(a, ((0, Bq - B), (0, Lq - L))) if s["kind"] == "umask"
+            else np.pad(a, ((0, Lq - L), (0, Bq - B), (0, 0)))
+            for a, s in zip(arrs, self.inputs)
+        ]
+        if self.has_valid_len:
+            padded.append(np.int32(L if valid_len is None else valid_len))
+        out = self._fn.call(*padded)
         return np.asarray(out)[:L, :B]
 
-    def predict(self, audio, visual, text, valid_len: Optional[int] = None) -> np.ndarray:
+    def predict(self, *tensors, valid_len: Optional[int] = None) -> np.ndarray:
         """Argmax class ids, (L, B) int32."""
-        return np.argmax(self.log_probs(audio, visual, text, valid_len), axis=2).astype(
-            np.int32
-        )
+        return np.argmax(
+            self.log_probs(*tensors, valid_len=valid_len), axis=2
+        ).astype(np.int32)
 
-    def predict_names(self, audio, visual, text, valid_len: Optional[int] = None):
+    def predict_names(self, *tensors, valid_len: Optional[int] = None):
         """Class names, a length-B list of length-L lists."""
-        ids = self.predict(audio, visual, text, valid_len)
+        ids = self.predict(*tensors, valid_len=valid_len)
         return [[self.label_names[c] for c in ids[:, j]] for j in range(ids.shape[1])]

@@ -2,9 +2,13 @@
 
 The artifact must reproduce the live model exactly (same platform, both on
 the quantization grid and off it), reject malformed inputs/blobs, and the
-reference HTTP server must round-trip predictions. All on CPU with a tiny
-1-layer model; platform-portability of the multi-platform export is covered
-by exporting for ("cpu", "tpu") from this CPU-only process.
+reference HTTP server must round-trip predictions. All on CPU with tiny
+1-layer models; platform-portability of the multi-platform export is covered
+by exporting for ("cpu", "tpu") from this CPU-only process. All three model
+families are covered: gan_ffn, gan_ffn_dialoguernn (the BiModel scan stack
+exports shape-polymorphically; time padding with umask=0 must be
+output-preserving), meld_lstm (batch-only quantization — the backward LSTM
+reads future timesteps, so time runs exact).
 """
 
 import json
@@ -16,13 +20,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gan_ffn_tpu.models import GAN_FFN
+from gan_ffn_tpu.models import GAN_FFN, GAN_FFN_DialogueRNN, MELDLSTMModel
 from gan_ffn_tpu.serving import (
     ARTIFACT_MAGIC,
     ServingClassifier,
     _pack,
     _unpack,
     export_classifier,
+    export_dialoguernn_classifier,
+    export_meld_classifier,
 )
 
 MAX_LEN, BUCKETS, BATCH = 16, (8, 16), 4
@@ -163,6 +169,250 @@ def test_export_cli_end_to_end(tiny, tmp_path, monkeypatch):
     np.testing.assert_allclose(
         loaded.log_probs(a, v, t), _live(tiny, a, v, t), atol=1e-5, rtol=0
     )
+
+
+# ---------------------------------------------------------------------------
+# GAN_FFN_DialogueRNN family: the whole BiModel scan stack must export
+# shape-polymorphically, and zero-umask time/batch padding added by shape
+# quantization must be output-preserving (forward scan causal; reverse scan
+# and att2 driven by per-dialogue umask lengths, models/dialogue_rnn.py).
+# ---------------------------------------------------------------------------
+
+DRNN_KW = dict(D_g=24, D_p=24, D_e=8, D_a=8)  # small recurrent dims, fast CPU
+
+
+@pytest.fixture(scope="module")
+def drnn():
+    model = GAN_FFN_DialogueRNN(n_classes=6, gen_num_layers=1, **DRNN_KW)
+    L0, B0 = 8, BATCH
+    qm = np.zeros((L0, B0, 2), np.float32)
+    qm[..., 0] = 1.0
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((L0, B0, 100), jnp.float32),
+        jnp.zeros((L0, B0, 512), jnp.float32),
+        jnp.zeros((L0, B0, 100), jnp.float32),
+        jnp.asarray(qm),
+        jnp.ones((B0, L0), jnp.float32),
+    )["params"]
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def drnn_clf(drnn):
+    model, params = drnn
+    blob = export_dialoguernn_classifier(
+        model, params, max_len=MAX_LEN, batch_size=BATCH, buckets=BUCKETS,
+        platforms=("cpu", "tpu"),
+    )
+    return ServingClassifier.loads(blob)
+
+
+def _drnn_inputs(L, B, seed=0):
+    rng = np.random.default_rng(seed)
+    a, v, t = (
+        rng.standard_normal((L, B, d)).astype(np.float32) for d in (100, 512, 100)
+    )
+    qm = np.zeros((L, B, 2), np.float32)
+    qm[np.arange(L)[:, None], np.arange(B)[None, :], rng.integers(0, 2, (L, B))] = 1.0
+    um = np.ones((B, L), np.float32)
+    return a, v, t, qm, um
+
+
+def _drnn_live(drnn, a, v, t, qm, um):
+    model, params = drnn
+    lp, *_ = model.apply(
+        {"params": params}, a, v, t, qm, um, valid_len=jnp.int32(a.shape[0])
+    )
+    return np.asarray(lp)
+
+
+def test_drnn_meta(drnn_clf):
+    assert drnn_clf.family == "gan_ffn_dialoguernn"
+    assert drnn_clf.input_names == ("audio", "visual", "text", "qmask", "umask")
+    assert drnn_clf.time_quantize and drnn_clf.has_valid_len
+
+
+def test_drnn_artifact_matches_live_on_grid(drnn, drnn_clf):
+    ins = _drnn_inputs(8, BATCH)
+    np.testing.assert_allclose(
+        drnn_clf.log_probs(*ins), _drnn_live(drnn, *ins), atol=1e-5, rtol=0
+    )
+
+
+def test_drnn_quantization_padding_is_output_preserving(drnn, drnn_clf):
+    # L=5, B=2 -> padded to (8, 4) with umask/qmask zeros; the recurrent
+    # stack must not leak padding into real rows (the serving-side analogue
+    # of the stacked-bidir ragged-length equivalence tests).
+    ins = _drnn_inputs(5, 2, seed=1)
+    out = drnn_clf.log_probs(*ins)
+    assert out.shape == (5, 2, 6)
+    assert drnn_clf._quantized_shape(5, 2) == (8, BATCH)
+    np.testing.assert_allclose(out, _drnn_live(drnn, *ins), atol=1e-5, rtol=0)
+
+
+def test_drnn_wrong_tensor_count(drnn_clf):
+    a, v, t, qm, um = _drnn_inputs(8, 2)
+    with pytest.raises(ValueError, match="takes 5 tensors"):
+        drnn_clf.log_probs(a, v, t)
+
+
+def test_drnn_umask_shape_validated(drnn_clf):
+    a, v, t, qm, um = _drnn_inputs(8, 2)
+    with pytest.raises(ValueError, match="must agree"):
+        drnn_clf.log_probs(a, v, t, qm, um.T)  # (L, B) instead of (B, L)
+
+
+def test_drnn_export_forces_deterministic(drnn):
+    # a training-mode model instance exports the eval-mode forward
+    model, params = drnn
+    train_model = GAN_FFN_DialogueRNN(
+        n_classes=6, gen_num_layers=1, deterministic=False, **DRNN_KW
+    )
+    blob = export_dialoguernn_classifier(
+        train_model, params, max_len=MAX_LEN, batch_size=BATCH, buckets=BUCKETS,
+        platforms=("cpu",),
+    )
+    ins = _drnn_inputs(8, 2, seed=2)
+    np.testing.assert_allclose(
+        ServingClassifier.loads(blob).log_probs(*ins),
+        _drnn_live(drnn, *ins),
+        atol=1e-5, rtol=0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MELDLSTMModel family: batch-only quantization (the backward LSTM reads
+# future timesteps regardless of mask — reference model.py:543 — so time
+# padding is NOT output-preserving and the loader must never apply it).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def meld():
+    model = MELDLSTMModel(D_m=24, D_e=8, D_h=16, n_classes=7)
+    L0, B0 = 8, BATCH
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((L0, B0, 24), jnp.float32),
+        jnp.zeros((L0, B0, 9), jnp.float32),
+        jnp.ones((B0, L0), jnp.float32),
+    )["params"]
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def meld_clf(meld):
+    model, params = meld
+    blob = export_meld_classifier(
+        model, params, batch_size=BATCH, platforms=("cpu", "tpu")
+    )
+    return ServingClassifier.loads(blob)
+
+
+def _meld_inputs(L, B, seed=0):
+    rng = np.random.default_rng(seed)
+    t = rng.standard_normal((L, B, 24)).astype(np.float32)
+    qm = np.zeros((L, B, 9), np.float32)
+    qm[np.arange(L)[:, None], np.arange(B)[None, :], rng.integers(0, 9, (L, B))] = 1.0
+    um = np.ones((B, L), np.float32)
+    return t, qm, um
+
+
+def test_meld_meta_and_grid(meld_clf):
+    assert meld_clf.family == "meld_lstm"
+    assert meld_clf.input_names == ("text", "qmask", "umask")
+    assert not meld_clf.time_quantize and not meld_clf.has_valid_len
+    assert meld_clf.label_names[1] == "surprise"
+    # time exact, batch quantized
+    assert meld_clf._quantized_shape(13, 2) == (13, BATCH)
+    assert meld_clf._quantized_shape(13, BATCH + 1) == (13, 2 * BATCH)
+
+
+def test_meld_artifact_matches_live_batch_off_grid(meld, meld_clf):
+    model, params = meld
+    t, qm, um = _meld_inputs(13, 2, seed=3)  # off-grid time stays exact
+    out = meld_clf.log_probs(t, qm, um)
+    assert out.shape == (13, 2, 7)
+    want, *_ = model.apply({"params": params}, t, qm, um, deterministic=True)
+    np.testing.assert_allclose(out, np.asarray(want), atol=1e-5, rtol=0)
+
+
+def test_meld_batch_padding_is_output_preserving(meld, meld_clf):
+    # the quantized call above padded B 2 -> 4: prove the padded columns did
+    # not leak by comparing against the exact-shape loader
+    t, qm, um = _meld_inputs(13, 2, seed=3)
+    blob = export_meld_classifier(meld[0], meld[1], batch_size=BATCH,
+                                  platforms=("cpu",))
+    exact = ServingClassifier.loads(blob, quantize=False)
+    np.testing.assert_allclose(
+        meld_clf.log_probs(t, qm, um), exact.log_probs(t, qm, um),
+        atol=1e-6, rtol=0,
+    )
+
+
+def test_export_cli_dialoguernn_and_meld(tmp_path):
+    from gan_ffn_tpu.cli import export as export_cli
+    from gan_ffn_tpu.utils.checkpoint import save_params
+
+    save_dir = tmp_path / "GAN_save"
+    save_dir.mkdir()
+
+    meld_model = MELDLSTMModel(D_m=600, D_e=300, D_h=600, n_classes=7)
+    params = meld_model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((4, 2, 600), jnp.float32),
+        jnp.zeros((4, 2, 9), jnp.float32),
+        jnp.ones((2, 4), jnp.float32),
+    )["params"]
+    save_params(str(save_dir / "meld_classifier_best.msgpack"), params)
+    out = tmp_path / "meld.stablehlo"
+    res = export_cli.main([
+        "--model", "meld", "--model-save-path", str(save_dir),
+        "--output", str(out), "--batch-size", "2",
+        "--platforms", "cpu", "--verify",
+    ])
+    assert out.exists() and res["bytes"] == out.stat().st_size
+    clf = ServingClassifier.load(str(out))
+    assert clf.family == "meld_lstm" and clf.meta["dims"]["text"] == 600
+
+
+def test_http_server_dialoguernn_family(drnn_clf):
+    from gan_ffn_tpu.cli.serve import make_handler
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(drnn_clf))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    try:
+        health = json.loads(urllib.request.urlopen(f"{base}/healthz").read())
+        assert health["family"] == "gan_ffn_dialoguernn"
+        assert health["inputs"] == ["audio", "visual", "text", "qmask", "umask"]
+
+        a, v, t, qm, um = _drnn_inputs(8, 2, seed=7)
+        body = json.dumps({
+            "audio": a.tolist(), "visual": v.tolist(), "text": t.tolist(),
+            "qmask": qm.tolist(), "umask": um.tolist(),
+        }).encode()
+        req = urllib.request.Request(
+            f"{base}/predict", data=body, headers={"Content-Type": "application/json"}
+        )
+        resp = json.loads(urllib.request.urlopen(req).read())
+        want = drnn_clf.predict(a, v, t, qm, um)
+        assert resp["classes"] == want.T.tolist()
+
+        # family-required key missing -> 400
+        body = json.dumps(
+            {"audio": a.tolist(), "visual": v.tolist(), "text": t.tolist()}
+        ).encode()
+        bad = urllib.request.Request(f"{base}/predict", data=body)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
 
 
 def test_http_server_round_trip(tiny, clf, artifact, tmp_path):
