@@ -65,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--model-save-path", default="./GAN_save/")
     p.add_argument("--num-layers", type=int, default=8)
+    p.add_argument("--scan-layers", action="store_true", default=False,
+                   help="run each encoder depth as ONE nn.scan over stacked "
+                        "layer params: same deterministic math, minutes "
+                        "instead of tens of minutes of first-process compile "
+                        "(PERF.md scan-over-layers). Changes the GAN "
+                        "checkpoint layout (nn/transformer.py converters "
+                        "bridge) and per-layer dropout key derivation.")
     p.add_argument("--gan-schedule", choices=("fused", "stepwise"), default="fused",
                    help="stage-A compilation strategy: 'fused' compiles the whole "
                         "12-duel schedule into one program (fast steps, long first "
@@ -90,6 +97,12 @@ def main(argv=None) -> dict:
     from ..utils.runtime import configure_tpu_runtime, wait_for_device
 
     configure_tpu_runtime()
+    if args.scan_layers:
+        # process-global so stage B (classifier init/steps) traces the same
+        # param layout stage A built; GANConfig pins it for the GAN program
+        from ..ops.config import set_scan_layers
+
+        set_scan_layers(True)
     print(f"Running on {wait_for_device()[0].platform}")
 
     if args.synthetic and not os.path.exists(args.data_path):
@@ -107,6 +120,7 @@ def main(argv=None) -> dict:
     gan_cfg = GANConfig(
         num_layers=args.num_layers, lr=0.0001, b1=0.5, b2=0.6, dtype=dtype,
         seed=args.seed, fused_schedule=(args.gan_schedule == "fused"),
+        scan_layers=args.scan_layers,
     )
     gan_train_loader, _, _ = get_iemocap_loaders(
         args.data_path, batch_size=32, valid=0.1, seed=args.seed,

@@ -97,6 +97,58 @@ class MultiheadSelfAttention(nn.Module):
         return out
 
 
+def _encoder_layer_forward(m, x, valid_len, deterministic: bool):
+    """Shared post-norm layer body. ``m`` is the owning module (the unrolled
+    ``TransformerEncoderLayer`` or the scanned ``_ScannedEncoderLayer``);
+    submodules created here bind to it, so both paths produce the SAME leaf
+    names and the per-layer trees convert by a pure stack/unstack
+    (:func:`stack_layer_params`)."""
+    dtype = m.dtype or x.dtype
+    attn_out = MultiheadSelfAttention(
+        m.d_model, m.nhead, dropout=m.dropout, dtype=dtype, name="self_attn"
+    )(x, valid_len=valid_len, deterministic=deterministic)
+    x = x + nn.Dropout(m.dropout)(attn_out, deterministic=deterministic)
+    x = LayerNorm(name="norm1", dtype=dtype)(x)
+
+    from ..ops.config import pallas_mlp_enabled
+
+    lin1 = TorchLinear(m.dim_feedforward, dtype=dtype, name="linear1")
+    lin2 = TorchLinear(m.d_model, dtype=dtype, name="linear2")
+    from ..ops.mlp import fused_mlp_supported
+
+    if pallas_mlp_enabled() and fused_mlp_supported(
+        m.d_model, m.dim_feedforward, m.d_model, dtype
+    ):
+        # one VMEM kernel for linear1 -> relu -> dropout -> linear2: the
+        # (M, d_ff) intermediate never round-trips HBM (ops/mlp.py)
+        from ..ops.mlp import fused_mlp
+
+        k1, b1 = lin1(x, return_params=True)
+        k2, b2 = lin2(
+            jnp.zeros((1, m.dim_feedforward), dtype), return_params=True
+        )
+        rate = 0.0 if deterministic else m.dropout
+        seed = None
+        if rate > 0.0:
+            seed = jax.random.randint(
+                m.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+            )
+        h = fused_mlp(
+            x.astype(dtype),
+            k1.astype(dtype), b1.astype(dtype),
+            k2.astype(dtype), b2.astype(dtype),
+            mid=("relu", "act_first", rate), dropout_seed=seed,
+        )
+    else:
+        h = lin1(x)
+        h = nn.relu(h)
+        h = nn.Dropout(m.dropout)(h, deterministic=deterministic)
+        h = lin2(h)
+    x = x + nn.Dropout(m.dropout)(h, deterministic=deterministic)
+    x = LayerNorm(name="norm2", dtype=dtype)(x)
+    return x
+
+
 class TransformerEncoderLayer(nn.Module):
     """Post-norm encoder layer, torch legacy semantics:
 
@@ -112,54 +164,44 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, valid_len=None, deterministic: bool = True):
-        dtype = self.dtype or x.dtype
-        attn_out = MultiheadSelfAttention(
-            self.d_model, self.nhead, dropout=self.dropout, dtype=dtype, name="self_attn"
-        )(x, valid_len=valid_len, deterministic=deterministic)
-        x = x + nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
-        x = LayerNorm(name="norm1", dtype=dtype)(x)
+        return _encoder_layer_forward(self, x, valid_len, deterministic)
 
-        from ..ops.config import pallas_mlp_enabled
 
-        lin1 = TorchLinear(self.dim_feedforward, dtype=dtype, name="linear1")
-        lin2 = TorchLinear(self.d_model, dtype=dtype, name="linear2")
-        from ..ops.mlp import fused_mlp_supported
+class _ScannedEncoderLayer(nn.Module):
+    """The same layer body in ``nn.scan`` calling convention: carry in,
+    (carry, per-step output=None) out. Instantiated only through
+    :class:`TransformerEncoder`'s scan path."""
 
-        if pallas_mlp_enabled() and fused_mlp_supported(
-            self.d_model, self.dim_feedforward, self.d_model, dtype
-        ):
-            # one VMEM kernel for linear1 -> relu -> dropout -> linear2: the
-            # (M, d_ff) intermediate never round-trips HBM (ops/mlp.py)
-            from ..ops.mlp import fused_mlp
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    dtype: Any = None
 
-            k1, b1 = lin1(x, return_params=True)
-            k2, b2 = lin2(
-                jnp.zeros((1, self.dim_feedforward), dtype), return_params=True
-            )
-            rate = 0.0 if deterministic else self.dropout
-            seed = None
-            if rate > 0.0:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
-                )
-            h = fused_mlp(
-                x.astype(dtype),
-                k1.astype(dtype), b1.astype(dtype),
-                k2.astype(dtype), b2.astype(dtype),
-                mid=("relu", "act_first", rate), dropout_seed=seed,
-            )
-        else:
-            h = lin1(x)
-            h = nn.relu(h)
-            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-            h = lin2(h)
-        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        x = LayerNorm(name="norm2", dtype=dtype)(x)
-        return x
+    @nn.compact
+    def __call__(self, x, valid_len, deterministic: bool):
+        return _encoder_layer_forward(self, x, valid_len, deterministic), None
 
 
 class TransformerEncoder(nn.Module):
-    """Stack of ``num_layers`` post-norm encoder layers."""
+    """Stack of ``num_layers`` post-norm encoder layers.
+
+    Two structurally different renditions of the same math, selected by the
+    trace-time ``scan_layers`` switch (ops/config.py, ``GANFFN_SCAN_LAYERS``):
+
+    - **unrolled** (default): ``num_layers`` named child layers
+      (``layers_0`` .. ``layers_{n-1}``) — the torch-checkpoint-shaped tree
+      every parity/transplant test uses.
+    - **scanned**: ONE ``nn.scan`` over a single layer whose params carry a
+      stacked leading ``num_layers`` axis (child name ``layers``). The traced
+      program is ~``num_layers``× smaller, which is what the hosted
+      remote-compile path charges for (the unrolled 12-duel stage-A program
+      costs ~7-20 min to build, PERF.md "scan-over-layers"). Deterministic
+      outputs/gradients are equivalent (tests/test_scan_layers.py); dropout
+      draws differ (per-step rng split vs per-path fold), like any rng
+      re-derivation. Convert checkpoints between the two layouts with
+      :func:`stack_layer_params` / :func:`unstack_layer_params`.
+    """
 
     d_model: int
     nhead: int
@@ -170,6 +212,25 @@ class TransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, valid_len=None, deterministic: bool = True):
+        from ..ops.config import scan_layers_enabled
+
+        if scan_layers_enabled():
+            scanned = nn.scan(
+                _ScannedEncoderLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_layers,
+            )
+            x, _ = scanned(
+                self.d_model,
+                self.nhead,
+                self.dim_feedforward,
+                self.dropout,
+                dtype=self.dtype,
+                name="layers",
+            )(x, valid_len, deterministic)
+            return x
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model,
@@ -180,3 +241,60 @@ class TransformerEncoder(nn.Module):
                 name=f"layers_{i}",
             )(x, valid_len=valid_len, deterministic=deterministic)
         return x
+
+
+def _is_unrolled_encoder(d) -> bool:
+    return isinstance(d, dict) and "layers_0" in d
+
+
+def _is_scanned_encoder(d) -> bool:
+    return (
+        isinstance(d, dict)
+        and isinstance(d.get("layers"), dict)
+        and "self_attn" in d["layers"]
+    )
+
+
+def _map_containers(fn, node):
+    """Recurse ``fn`` through dicts, lists, tuples and NamedTuples (optimizer
+    states mirror the param tree inside optax NamedTuples)."""
+    if isinstance(node, dict):
+        return {k: fn(v) for k, v in node.items()}
+    if isinstance(node, (list, tuple)):
+        vals = [fn(v) for v in node]
+        if hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*vals)
+        return type(node)(vals)
+    return node
+
+
+def stack_layer_params(params):
+    """Convert every unrolled-encoder subtree (``layers_0``..``layers_{n-1}``)
+    in ``params`` to the scanned layout (one ``layers`` subtree, leaves
+    stacked on a new leading axis). Walks dicts, lists, tuples and
+    NamedTuples, so it accepts a single encoder's subtree, a model's
+    ``params``, a full GAN state's ``params`` dict, or an optimizer-state
+    tree that mirrors the params. Non-encoder subtrees pass through
+    unchanged (by reference — deep-copy before donating either tree)."""
+    if _is_unrolled_encoder(params):
+        n = sum(1 for k in params if k.startswith("layers_"))
+        layers = [params[f"layers_{i}"] for i in range(n)]
+        rest = {k: stack_layer_params(v) for k, v in params.items()
+                if not k.startswith("layers_")}
+        rest["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+        return rest
+    return _map_containers(stack_layer_params, params)
+
+
+def unstack_layer_params(params):
+    """Inverse of :func:`stack_layer_params`: split every scanned-encoder
+    ``layers`` subtree back into per-layer ``layers_i`` subtrees."""
+    if _is_scanned_encoder(params):
+        stacked = params["layers"]
+        n = jax.tree.leaves(stacked)[0].shape[0]
+        rest = {k: unstack_layer_params(v) for k, v in params.items()
+                if k != "layers"}
+        for i in range(n):
+            rest[f"layers_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+        return rest
+    return _map_containers(unstack_layer_params, params)

@@ -21,6 +21,19 @@ programs). Defaults come from env vars, overridable lexically::
 - ``GANFFN_STACK_UNROLL`` (int, default 1) sets that scan's ``unroll``
   factor (measured on v5e by scripts/ab_stack_unroll.py before the default
   was chosen — see the script docstring for the numbers).
+- ``GANFFN_SCAN_LAYERS`` sets the encoder scan-over-layers default; unset,
+  it is OFF. When ON, ``nn.TransformerEncoder`` runs its depth as ONE
+  ``nn.scan`` over stacked layer params instead of ``num_layers`` unrolled
+  blocks — same math, ~num_layers× smaller HLO, built to attack the hosted
+  remote-compile cost of the 12-duel stage-A program (~7-20 min unrolled,
+  PERF.md "scan-over-layers"). UNLIKE the kernel switches this one changes
+  the PARAM TREE (per-layer subtrees ``layers_i`` become one ``layers``
+  subtree with a stacked leading axis): init and apply must run under the
+  same setting, and checkpoints convert via
+  ``nn.transformer.stack_layer_params`` / ``unstack_layer_params``. Dropout
+  key derivation also differs (scan splits the rng per step; unrolled folds
+  per module path), so stochastic trajectories differ while deterministic
+  math is identical (equivalence-tested in tests/test_scan_layers.py).
 """
 
 from __future__ import annotations
@@ -47,6 +60,7 @@ _STATE = {
     "mlp": _default_enabled("GANFFN_PALLAS_MLP"),
     "stack_bidir": _default_enabled("GANFFN_STACK_BIDIR"),
     "stack_unroll": _default_unroll(),
+    "scan_layers": _default_enabled("GANFFN_SCAN_LAYERS"),
 }
 
 
@@ -56,6 +70,9 @@ def _enabled(key: str) -> bool:
             _STATE[key] = False  # measured: no win at the reference geometries
         elif key == "stack_bidir":
             _STATE[key] = True  # measured 1.39x on TPU; math-identical per direction
+        elif key == "scan_layers":
+            # structure-changing: never flips on implicitly (see module doc)
+            _STATE[key] = False
         else:
             import jax
 
@@ -73,6 +90,21 @@ def pallas_mlp_enabled() -> bool:
 
 def stacked_bidir_enabled() -> bool:
     return _enabled("stack_bidir")
+
+
+def scan_layers_enabled() -> bool:
+    return _enabled("scan_layers")
+
+
+def use_scan_layers(enabled: bool = True):
+    return _use("scan_layers", enabled)
+
+
+def set_scan_layers(enabled: bool) -> None:
+    """Process-global scan-over-layers default (what the CLI ``--scan-layers``
+    flag sets, so stage A and stage B trace the same param layout);
+    ``use_scan_layers`` still overrides lexically."""
+    _STATE["scan_layers"] = enabled
 
 
 def stack_bidir_unroll() -> int:

@@ -98,6 +98,34 @@ class GANConfig:
     # stack bypasses jax's persistent compile cache, and this program costs
     # ~10-15 min to build per process otherwise (utils/aot.py).
     aot_cache: bool = True
+    # Run each encoder's depth as ONE nn.scan over stacked layer params
+    # instead of num_layers unrolled blocks: same deterministic math,
+    # ~num_layers× smaller HLO, so the hosted remote compile of the fused
+    # 12-duel program costs minutes instead of tens of minutes (measured:
+    # scripts/ab_scan_layers.py, PERF.md "scan-over-layers"). Changes the
+    # GAN state's param-tree layout (nn/transformer.py converters bridge
+    # checkpoints) and the per-layer dropout key derivation, so it is
+    # opt-in; init_gan_state and both step builders pin it together.
+    scan_layers: bool = False
+
+    # Fields present in round-3 AOT-cache salts: __str__ must render THESE
+    # exactly as the round-3 dataclass repr did, and newer fields only when
+    # non-default, so adding a config knob does not silently re-key (and
+    # recompile) every cached executable of a default-config run.
+    _SALT_FIELDS = (
+        "D_h", "dropout", "num_layers", "lr", "b1", "b2", "dtype", "seed",
+        "fused_schedule", "pallas_attention", "aot_cache",
+    )
+
+    def __str__(self):
+        parts = [f"{k}={getattr(self, k)!r}" for k in self._SALT_FIELDS]
+        for f in dataclasses.fields(self):
+            if f.name in self._SALT_FIELDS:
+                continue
+            v = getattr(self, f.name)
+            if v != f.default:
+                parts.append(f"{f.name}={v!r}")
+        return f"GANConfig({', '.join(parts)})"
 
 
 def create_gan_modules(cfg: GANConfig) -> Dict[str, Any]:
@@ -138,24 +166,29 @@ def init_gan_state(cfg: GANConfig, rng: jax.Array, seq_len: int = 16, batch: int
     512-d real path and 100-d fusion path) so the ``object`` projection params
     exist.
     """
+    from ..ops.config import use_scan_layers
+
     modules = create_gan_modules(cfg)
     opts = create_gan_optimizers(cfg)
     keys = jax.random.split(rng, len(modules))
     params: Dict[str, Any] = {}
-    for key, (name, module) in zip(keys, modules.items()):
-        if name.endswith("_gen"):
-            d_in = _MODALITY_DIM[name.split("_")[0]]
-        elif name == "visual_disc":
-            d_in = 512  # raw path; also creates the `object` projection
-        else:
-            d_in = cfg.D_h
-        x = jnp.zeros((seq_len, batch, d_in), dtype=jnp.float32)
-        if cfg.aot_cache:
-            from ..utils.aot import cached_init
+    # cfg.scan_layers decides the param-tree LAYOUT, so init must trace under
+    # the same setting the train step will (see GANConfig.scan_layers)
+    with use_scan_layers(cfg.scan_layers):
+        for key, (name, module) in zip(keys, modules.items()):
+            if name.endswith("_gen"):
+                d_in = _MODALITY_DIM[name.split("_")[0]]
+            elif name == "visual_disc":
+                d_in = 512  # raw path; also creates the `object` projection
+            else:
+                d_in = cfg.D_h
+            x = jnp.zeros((seq_len, batch, d_in), dtype=jnp.float32)
+            if cfg.aot_cache:
+                from ..utils.aot import cached_init
 
-            params[name] = cached_init(module, key, x, salt=f"gan_init:{name}")
-        else:
-            params[name] = module.init({"params": key}, x)["params"]
+                params[name] = cached_init(module, key, x, salt=f"gan_init:{name}")
+            else:
+                params[name] = module.init({"params": key}, x)["params"]
     opt = {name: opts[name].init(params[name]) for name in modules}
     return {"params": params, "opt": opt}
 
@@ -289,9 +322,9 @@ def make_gan_train_step(cfg: GANConfig, mesh=None):
         # added geometry-shared kernel runners (each distinct geometry traces
         # once); cfg.pallas_attention selects the path, default XLA (see
         # GANConfig and PERF.md for the measurements).
-        from ..ops.config import use_pallas_attention
+        from ..ops.config import use_pallas_attention, use_scan_layers
 
-        with use_pallas_attention(cfg.pallas_attention):
+        with use_pallas_attention(cfg.pallas_attention), use_scan_layers(cfg.scan_layers):
             if mesh is not None:
                 state, batch = constrain_dp(state, batch)
             params = dict(state["params"])
@@ -332,17 +365,22 @@ def make_gan_train_step(cfg: GANConfig, mesh=None):
     ]
 
     def stepwise(state, batch, rng):
+        from ..ops.config import use_scan_layers
+
         params = dict(state["params"])
         opt_state = dict(state["opt"])
         losses: Dict[str, jnp.ndarray] = {}
         keys = jax.random.split(rng, 2 * len(DUEL_SCHEDULE))
-        for i, (kind, net, _nm, opp, _om, log_key) in enumerate(DUEL_SCHEDULE):
-            params[net], opt_state[net], loss = duel_jits[i](
-                params[net], params[opp], opt_state[net], batch,
-                keys[2 * i], keys[2 * i + 1],
-            )
-            losses[f"duel_{i}"] = loss
-            losses[log_key] = loss
+        # pin the structural switch for the lazy per-duel traces, matching
+        # the layout init_gan_state built (run_schedule does the same)
+        with use_scan_layers(cfg.scan_layers):
+            for i, (kind, net, _nm, opp, _om, log_key) in enumerate(DUEL_SCHEDULE):
+                params[net], opt_state[net], loss = duel_jits[i](
+                    params[net], params[opp], opt_state[net], batch,
+                    keys[2 * i], keys[2 * i + 1],
+                )
+                losses[f"duel_{i}"] = loss
+                losses[log_key] = loss
         return {"params": params, "opt": opt_state}, losses
 
     return stepwise

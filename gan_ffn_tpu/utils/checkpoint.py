@@ -66,12 +66,44 @@ def load_gan_state(
     params = {}
     opt = {}
     for name in GAN_NET_NAMES:
-        params[name] = load_params(
+        params[name] = _load_any_layout(
             os.path.join(save_dir, f"{name}.msgpack"), template_state["params"][name]
         )
         opt_path = os.path.join(save_dir, "opt", f"{name}.msgpack")
         if reset_opt or not os.path.exists(opt_path):
             opt[name] = template_state["opt"][name]
         else:
-            opt[name] = load_params(opt_path, template_state["opt"][name])
+            opt[name] = _load_any_layout(opt_path, template_state["opt"][name])
     return {"params": params, "opt": opt}
+
+
+def _load_any_layout(path: str, template):
+    """``load_params`` that bridges the two encoder layouts.
+
+    A checkpoint written under the other ``scan_layers`` setting (unrolled
+    per-layer ``layers_i`` subtrees vs one stacked ``layers`` subtree,
+    nn/transformer.py) has a different pytree structure than ``template``.
+    On mismatch, retry against the converted template and convert the loaded
+    tree back to the template's layout — so ``--use-trained-GAN`` composes
+    with ``--scan-layers`` in either direction."""
+    try:
+        return load_params(path, template)
+    except Exception as err:  # noqa: BLE001 — flax raises plain ValueErrors here
+        import jax
+
+        from ..nn.transformer import stack_layer_params, unstack_layer_params
+
+        for conv, inv in (
+            (stack_layer_params, unstack_layer_params),
+            (unstack_layer_params, stack_layer_params),
+        ):
+            alt = conv(template)
+            if jax.tree_util.tree_structure(alt) == jax.tree_util.tree_structure(
+                template
+            ):
+                continue  # conversion is a no-op: not a layout mismatch
+            try:
+                return inv(load_params(path, alt))
+            except Exception:  # noqa: BLE001
+                continue
+        raise err
