@@ -20,6 +20,10 @@ API (JSON over HTTP):
 
 Throughput-critical callers should batch to the exported batch size; the
 server pads smaller requests (serving.ServingClassifier.log_probs).
+Latency-critical deployments serving small requests should pass
+``--batch-grid 1,4,8,32`` so a single-dialogue request runs a B=1 program
+instead of the padded training-batch one (measured on v5e, PERF.md
+"serving path: batch_grid").
 """
 
 from __future__ import annotations
@@ -52,6 +56,7 @@ def make_handler(clf: ServingClassifier):
                     "inputs": list(clf.input_names),
                     "buckets": list(clf.buckets),
                     "batch_size": clf.batch_size,
+                    "batch_grid": list(clf.batch_grid) if clf.batch_grid else None,
                     "label_names": list(clf.label_names),
                 })
             else:
@@ -88,12 +93,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--artifact", default="gan_ffn.stablehlo")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch-grid", default=None, metavar="B1,B2,...",
+                   help="latency policy: pad request batch up to the next "
+                        "grid size (e.g. 1,4,8,32) instead of the training "
+                        "batch size; small requests then run small programs "
+                        "(serving.ServingClassifier batch_grid)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    clf = ServingClassifier.load(args.artifact)
+    grid = [int(b) for b in args.batch_grid.split(",")] if args.batch_grid else None
+    clf = ServingClassifier.load(args.artifact, batch_grid=grid)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(clf))
     print(f"serving {args.artifact} ({clf.meta.get('model')}, "
           f"buckets {list(clf.buckets)}) on http://{args.host}:{server.server_port}")

@@ -346,10 +346,22 @@ class ServingClassifier:
     ``quantize=False`` runs exact request shapes (one compile per distinct
     shape — fine for offline use, compile churn in production). Artifacts
     with ``time_quantize = False`` (MELD) always run exact time lengths.
+
+    ``batch_grid`` refines the batch-axis policy for latency-sensitive
+    servers: a sorted tuple of batch sizes (e.g. ``(1, 4, 8, 32)``) that a
+    request's B is padded UP to (falling back to ``batch_size`` multiples
+    beyond the grid). The default policy pads every request to at least the
+    artifact's training ``batch_size``, which wastes ~B_q/B of the FLOPs on
+    a single-dialogue request (measured on v5e: a B=1 request at the
+    default grid runs the full B=32 program — PERF.md "serving path"); a
+    grid bounds compiles at ``len(buckets) x len(batch_grid)`` while
+    letting small requests run small programs. Serve-side policy only —
+    the artifact is unchanged.
     """
 
     def __init__(self, meta: Dict[str, Any], entries: Dict[str, bytes], *,
-                 quantize: bool = True):
+                 quantize: bool = True,
+                 batch_grid: Optional[Sequence[int]] = None):
         if meta.get("version") != ARTIFACT_VERSION:
             raise ValueError(f"unsupported artifact version {meta.get('version')!r}")
         self.meta = meta
@@ -365,6 +377,13 @@ class ServingClassifier:
         self.buckets: Tuple[int, ...] = tuple(meta["buckets"])
         self.label_names: Tuple[str, ...] = tuple(meta["label_names"])
         self.quantize = quantize
+        if batch_grid is not None and (
+            not batch_grid or any(int(b) < 1 for b in batch_grid)
+        ):
+            raise ValueError(f"batch_grid must be positive ints, got {batch_grid!r}")
+        self.batch_grid: Optional[Tuple[int, ...]] = (
+            tuple(sorted(int(b) for b in batch_grid)) if batch_grid else None
+        )
         self._fn = jax.export.deserialize(entries["main"])
 
     # -- construction ------------------------------------------------------
@@ -387,7 +406,12 @@ class ServingClassifier:
             Lq = next((b for b in self.buckets if L <= b), None)
             if Lq is None:  # between the largest bucket and the hard max
                 Lq = self.max_len
-        Bq = max(self.batch_size, math.ceil(B / self.batch_size) * self.batch_size)
+        if self.batch_grid:
+            Bq = next((g for g in self.batch_grid if B <= g), None)
+            if Bq is None:  # beyond the grid: batch_size multiples as before
+                Bq = math.ceil(B / self.batch_size) * self.batch_size
+        else:
+            Bq = max(self.batch_size, math.ceil(B / self.batch_size) * self.batch_size)
         return Lq, Bq
 
     def log_probs(self, *tensors: np.ndarray, valid_len: Optional[int] = None) -> np.ndarray:

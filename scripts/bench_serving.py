@@ -13,7 +13,9 @@ Measures the deployment story end to end at the production geometry
    device-resident inputs) — gap vs (3) is the XLA-attention export vs
    whatever kernel config the live step uses (ops/config.py),
 5. single-dialogue latency through the artifact (B=1 quantized to the
-   batch target — the worst-case padding waste a server pays).
+   batch target — the worst-case padding waste a server pays),
+6. the same B=1 request under the ``batch_grid`` latency policy (padded to
+   a B=1 program instead of the training batch).
 
 ``--artifact PATH`` reuses a previously exported blob when the file exists
 (the 8-layer multi-platform export costs ~8 min on the hosted session).
@@ -133,6 +135,14 @@ def main(argv=None):
     one = tuple(x[: min(50, L), :1] for x in (a, v, t))
     _, lat_ms = timed(lambda: clf.log_probs(*one), "artifact B=1 (padded)")
 
+    # the batch_grid latency policy: the same artifact served with small
+    # batch programs — a B=1 request runs a B=1 program instead of the
+    # padded training-batch one (serving.ServingClassifier batch_grid)
+    clf_grid = ServingClassifier.loads(blob, batch_grid=(1, 4, 8, B))
+    _, lat_grid_ms = timed(
+        lambda: clf_grid.log_probs(*one), "artifact B=1 (batch_grid)"
+    )
+
     print(json.dumps({
         "bench": "serving",
         "platform": jax.devices()[0].platform,
@@ -149,6 +159,7 @@ def main(argv=None):
         "device_overhead_vs_live": round(art_dev_ms / live_ms, 3),
         "device_overhead_vs_live_xla": round(art_dev_ms / live_xla_ms, 3),
         "b1_latency_ms": round(lat_ms, 2),
+        "b1_latency_grid_ms": round(lat_grid_ms, 2),
         "max_abs_err_vs_live": err,
     }))
 

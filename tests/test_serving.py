@@ -129,6 +129,25 @@ def test_batch_above_target_quantizes_to_multiple(clf):
     assert clf._quantized_shape(9, 1) == (16, 4)
 
 
+def test_batch_grid_policy(tiny, artifact):
+    """batch_grid pads B up to the next grid size (B=1 requests run a B=1
+    program instead of the training-batch one), falls back to batch_size
+    multiples beyond the grid, and stays output-preserving."""
+    grid = ServingClassifier.loads(artifact, batch_grid=(1, 2, BATCH))
+    assert grid._quantized_shape(8, 1) == (8, 1)
+    assert grid._quantized_shape(5, 2) == (8, 2)
+    assert grid._quantized_shape(8, 3) == (8, BATCH)
+    assert grid._quantized_shape(8, BATCH + 1) == (8, 2 * BATCH)  # beyond grid
+    a, v, t = _inputs(5, 1, seed=6)
+    out = grid.log_probs(a, v, t)
+    assert out.shape == (5, 1, 6)
+    np.testing.assert_allclose(out, _live(tiny, a, v, t), atol=1e-5, rtol=0)
+    with pytest.raises(ValueError, match="batch_grid"):
+        ServingClassifier.loads(artifact, batch_grid=(0, 4))
+    with pytest.raises(ValueError, match="batch_grid"):
+        ServingClassifier.loads(artifact, batch_grid=())
+
+
 def test_rejects_overlong_and_mismatched(clf):
     a, v, t = _inputs(MAX_LEN + 1, 1)
     with pytest.raises(ValueError, match="max_len"):
