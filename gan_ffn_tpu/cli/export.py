@@ -44,7 +44,7 @@ from ..serving import (
     export_dialoguernn_classifier,
     export_meld_classifier,
 )
-from ..utils.checkpoint import load_params
+from ..utils.checkpoint import load_params_any_layout
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -141,7 +141,9 @@ def main(argv=None) -> dict:
 
     template = model.init({"params": jax.random.PRNGKey(0)}, *init_args)["params"]
     ckpt = os.path.join(args.model_save_path, ckpt_name)
-    params = load_params(ckpt, template)
+    # bridges checkpoints written under --scan-layers (stacked encoder
+    # layout) back to the unrolled template this exporter traces with
+    params = load_params_any_layout(ckpt, template)
     print(f"loaded {args.model} classifier from {ckpt}")
 
     blob = export(model, params)

@@ -24,7 +24,7 @@ from ..data import IEMOCAPDataset, BucketedLoader
 from ..evaluation.metrics import classification_report, confusion_matrix, f1_score
 from ..models import GAN_FFN
 from ..train.loop import batch_to_arrays
-from ..utils.checkpoint import load_params
+from ..utils.checkpoint import load_params_any_layout
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -59,7 +59,8 @@ def main(argv=None) -> dict:
         sample["audio"], sample["visual"], sample["text"], salt="init_gan_ffn",
     )
     ckpt = os.path.join(args.model_save_path, "classifier_best.msgpack")
-    params = load_params(ckpt, template)
+    # accepts checkpoints written under --scan-layers too
+    params = load_params_any_layout(ckpt, template)
     print(f"loaded classifier from {ckpt}")
 
     def infer_fn(params, batch):

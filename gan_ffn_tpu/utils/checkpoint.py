@@ -66,19 +66,20 @@ def load_gan_state(
     params = {}
     opt = {}
     for name in GAN_NET_NAMES:
-        params[name] = _load_any_layout(
+        params[name] = load_params_any_layout(
             os.path.join(save_dir, f"{name}.msgpack"), template_state["params"][name]
         )
         opt_path = os.path.join(save_dir, "opt", f"{name}.msgpack")
         if reset_opt or not os.path.exists(opt_path):
             opt[name] = template_state["opt"][name]
         else:
-            opt[name] = _load_any_layout(opt_path, template_state["opt"][name])
+            opt[name] = load_params_any_layout(opt_path, template_state["opt"][name])
     return {"params": params, "opt": opt}
 
 
-def _load_any_layout(path: str, template):
-    """``load_params`` that bridges the two encoder layouts.
+def load_params_any_layout(path: str, template):
+    """``load_params`` that bridges the two encoder layouts (public:
+    the export/predict CLIs use it to accept --scan-layers checkpoints).
 
     A checkpoint written under the other ``scan_layers`` setting (unrolled
     per-layer ``layers_i`` subtrees vs one stacked ``layers`` subtree,

@@ -209,6 +209,30 @@ def test_gan_checkpoint_cross_layout_load(tmp_path):
         assert jnp.array_equal(a, b)
 
 
+def test_classifier_checkpoint_cross_layout_load(tmp_path):
+    """cli/export and cli/predict load ``classifier_best.msgpack`` against an
+    unrolled template; a checkpoint written by a --scan-layers run must
+    bridge (utils/checkpoint.py::load_params_any_layout)."""
+    from gan_ffn_tpu.models import GAN_FFN
+    from gan_ffn_tpu.utils.checkpoint import load_params_any_layout, save_params
+
+    model = GAN_FFN(n_classes=6, gen_num_layers=2)
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(L, B, 512)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32))
+    template = model.init(jax.random.PRNGKey(0), a, v, t)["params"]
+    scanned = stack_layer_params(template)
+    path = str(tmp_path / "classifier_best.msgpack")
+    save_params(path, scanned)
+    loaded = load_params_any_layout(path, template)
+    assert jax.tree_util.tree_structure(loaded) == (
+        jax.tree_util.tree_structure(template)
+    )
+    for x, y in zip(jax.tree.leaves(loaded), jax.tree.leaves(template)):
+        assert jnp.array_equal(x, y)
+
+
 @pytest.mark.slow
 def test_12duel_step_scanned_equivalence(monkeypatch):
     """The fused 12-duel schedule (train_IEMOCAP.py:355-382) produces the
