@@ -32,6 +32,17 @@ regression, PERF.md/README advertise it for iterative stage-A work
 (sweeps at fresh geometries, the first process on a new machine); if the
 step-time cost exceeds that, it is documented as a compile-time/throughput
 trade the user picks explicitly.
+
+OUTCOME (2026-08-19, hosted v5e, both runs committed in
+docs/ab_runs/round4/ab_scan_layers{,_aot}.json): lower+compile
+99.3+978.4 s unrolled vs 28.4+178.8 s scanned — **5.5x faster compile**
+(HLO text 16.1 -> 8.5 MB); steady-state 218.2 vs 258.3 ms per 12-duel
+step — **scanned is 18% slower** (ratio 1.184, identical under direct
+and --aot dispatch). That exceeds the 5% auto-advertise bar, so the
+committed recommendation is the TRADE: at the reference's stage-A scale
+(150 epochs x 4 batches = 600 steps) a FIRST process finishes ~3.3x
+sooner scanned (~362 s vs ~1208 s); warm-cache processes train 18%
+faster unrolled. PERF.md "scan-over-layers" documents both.
 """
 
 from __future__ import annotations
@@ -55,11 +66,11 @@ def build(scan: bool, L: int, B: int, fp32: bool, base_params=None, aot: bool = 
 
     ``aot=True`` builds the production dispatch path instead
     (ShapeDispatchingAOT, the wrapper bench.py and the CLIs use): no
-    explicit lower/compile timing, but steady-state ms/step then reflects
-    what training actually pays — the direct compiled-call path used by
-    ``aot=False`` flattens the ~1000-leaf GAN state per call and costs a
-    large constant host overhead on the hosted tunnel (measured: both paths
-    +~200 ms/step vs the same program under the AOT wrapper)."""
+    explicit lower/compile timing, but steady-state ms/step reflects what
+    the CLIs pay. Measured 2026-08-19: both dispatch modes agree within
+    noise (unrolled 218.8 vs 218.2 ms, scanned 258.5 vs 258.3), so either
+    mode's ratio is trustworthy; the --aot run doubles as the confirmation
+    that dispatch overhead is NOT a confound."""
     import jax
     import jax.numpy as jnp
 
