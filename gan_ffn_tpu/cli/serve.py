@@ -2,8 +2,10 @@
 
 The deploy-side counterpart of ``cli/export.py`` — a dependency-free
 (stdlib ``http.server`` + jax) reference server for the StableHLO artifact.
-The reference framework has no serving story at all; this closes the
-train -> export -> serve pipeline end to end.
+The reference framework has no serving story at all — its only inference is
+the in-training eval pass (train_IEMOCAP.py:123-126, ``train=False`` inside
+``train_or_eval_model``) and it never persists the classifier; this closes
+the train -> export -> serve pipeline end to end.
 
     python -m gan_ffn_tpu.cli.serve --artifact gan_ffn.stablehlo --port 8000
 
@@ -73,13 +75,14 @@ def make_handler(clf: ServingClassifier):
                     np.asarray(req[name], np.float32) for name in clf.input_names
                 ]
                 ids = clf.predict(*tensors, valid_len=req.get("valid_len"))
-                names = [[clf.label_names[c] for c in ids[:, j]]
-                         for j in range(ids.shape[1])]
                 self._send(200, {
                     "classes": ids.T.tolist(),  # per-dialogue rows
-                    "class_names": names,
+                    "class_names": clf.names_for(ids),
                 })
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, TypeError, ValueError, json.JSONDecodeError) as e:
+                # TypeError covers valid-JSON-wrong-shape bodies (a top-level
+                # array, a dict as a tensor value) — must 400, not kill the
+                # handler thread
                 self._send(400, {"error": str(e)})
 
         def log_message(self, fmt, *a):  # quiet by default; errors still raise

@@ -97,12 +97,12 @@ def main(argv=None) -> dict:
     from ..utils.runtime import configure_tpu_runtime, wait_for_device
 
     configure_tpu_runtime()
-    if args.scan_layers:
-        # process-global so stage B (classifier init/steps) traces the same
-        # param layout stage A built; GANConfig pins it for the GAN program
-        from ..ops.config import set_scan_layers
+    from ..ops.config import resolve_scan_layers
 
-        set_scan_layers(True)
+    # one resolution point for --scan-layers + the GANFFN_SCAN_LAYERS env
+    # default: pins the process-global (stage B traces the same param layout
+    # stage A built) and flows into GANConfig (stage A pins it lexically)
+    args.scan_layers = resolve_scan_layers(args.scan_layers)
     print(f"Running on {wait_for_device()[0].platform}")
 
     if args.synthetic and not os.path.exists(args.data_path):

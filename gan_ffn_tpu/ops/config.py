@@ -107,6 +107,22 @@ def set_scan_layers(enabled: bool) -> None:
     _STATE["scan_layers"] = enabled
 
 
+def resolve_scan_layers(flag: bool) -> bool:
+    """Reconcile a CLI ``--scan-layers`` flag with the ``GANFFN_SCAN_LAYERS``
+    env default and pin the process-global to the result.
+
+    The trainer CLIs thread the returned value into ``GANConfig.scan_layers``
+    (stage A) while stage B's classifier construction reads the global — if
+    the two ever disagreed, the GAN checkpoint and the classifier would
+    trace different param layouts and the generator graft would fail with a
+    flax scope error after the multi-minute GAN stage. This single resolution
+    point makes that disagreement impossible.
+    """
+    enabled = bool(flag) or scan_layers_enabled()
+    set_scan_layers(enabled)
+    return enabled
+
+
 def stack_bidir_unroll() -> int:
     return _STATE["stack_unroll"]
 

@@ -470,7 +470,14 @@ class ServingClassifier:
             self.log_probs(*tensors, valid_len=valid_len), axis=2
         ).astype(np.int32)
 
+    def names_for(self, ids: np.ndarray):
+        """Map (L, B) class ids to names, a length-B list of length-L lists.
+
+        Shared by ``predict_names`` and callers that already hold the ids
+        (cli/serve.py returns both from one forward pass).
+        """
+        return [[self.label_names[c] for c in ids[:, j]] for j in range(ids.shape[1])]
+
     def predict_names(self, *tensors, valid_len: Optional[int] = None):
         """Class names, a length-B list of length-L lists."""
-        ids = self.predict(*tensors, valid_len=valid_len)
-        return [[self.label_names[c] for c in ids[:, j]] for j in range(ids.shape[1])]
+        return self.names_for(self.predict(*tensors, valid_len=valid_len))

@@ -290,3 +290,29 @@ def test_12duel_step_scanned_equivalence(monkeypatch):
     # torch-Adam amplifies an ulp-level gradient sign flip to a full ±lr
     # step; 2.5*lr is the same bound the DP equivalence tests use
     assert max_delta <= 2.5 * cfg_u.lr, max_delta
+
+
+def test_resolve_scan_layers_env_default_cannot_split_layouts(monkeypatch):
+    """Regression: ``GANFFN_SCAN_LAYERS=1`` with no ``--scan-layers`` flag
+    used to leave ``GANConfig.scan_layers`` False (stage A pinned unrolled)
+    while stage B's classifier construction read the env-derived global
+    (scanned) — the generator graft then failed with a flax scope error
+    AFTER the multi-minute GAN stage. ``resolve_scan_layers`` is the single
+    reconciliation point the trainer CLIs now call: whatever it returns is
+    both the process-global and the GANConfig value."""
+    from gan_ffn_tpu.ops import config as opscfg
+
+    # simulate GANFFN_SCAN_LAYERS=1 (env is folded into _STATE at import)
+    monkeypatch.setitem(opscfg._STATE, "scan_layers", True)
+    assert opscfg.resolve_scan_layers(False) is True
+    assert opscfg.scan_layers_enabled() is True
+
+    # unset env: flag absent -> off everywhere
+    monkeypatch.setitem(opscfg._STATE, "scan_layers", None)
+    assert opscfg.resolve_scan_layers(False) is False
+    assert opscfg.scan_layers_enabled() is False
+
+    # env=0 but the flag passed -> flag wins, global follows
+    monkeypatch.setitem(opscfg._STATE, "scan_layers", False)
+    assert opscfg.resolve_scan_layers(True) is True
+    assert opscfg.scan_layers_enabled() is True

@@ -458,11 +458,16 @@ def test_http_server_round_trip(tiny, clf, artifact, tmp_path):
         assert resp["classes"] == want.T.tolist()
         assert resp["class_names"][1][3] == clf.label_names[want[3, 1]]
 
-        # malformed requests -> 400, not a crash: missing key, then
-        # wrong-rank tensors (all keys present)
+        # malformed requests -> 400, not a crash: missing key, wrong-rank
+        # tensors (all keys present), a valid-JSON non-object body and a
+        # dict tensor value (both raise TypeError, which must be caught —
+        # uncaught it kills the handler thread and the client sees a
+        # connection reset instead of an HTTP response)
         for payload in (
             b'{"audio": [1]}',
             json.dumps({"audio": [1.0], "visual": [1.0], "text": [1.0]}).encode(),
+            b'[1, 2]',
+            json.dumps({"audio": {"a": 1}, "visual": [1.0], "text": [1.0]}).encode(),
         ):
             bad = urllib.request.Request(f"{base}/predict", data=payload)
             with pytest.raises(urllib.error.HTTPError) as ei:
