@@ -40,6 +40,7 @@ import numpy as np
 from ..models import GAN_FFN, GAN_FFN_DialogueRNN, MELDLSTMModel
 from ..serving import (
     ServingClassifier,
+    bf16_variant,
     export_classifier,
     export_dialoguernn_classifier,
     export_meld_classifier,
@@ -65,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--buckets", type=int, nargs="+", default=[32, 64, 96, 112],
                    help="serve-side length quantization grid (ignored for meld)")
     p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                   help="compute/constant dtype baked into the artifact: bf16 "
+                        "halves the weight bytes and runs the MXU's native "
+                        "precision (serving.bf16_variant); log-prob outputs "
+                        "are float32 either way")
     p.add_argument("--verify", action="store_true", default=False,
                    help="check the artifact against the live model before writing")
     return p
@@ -146,6 +152,10 @@ def main(argv=None) -> dict:
     params = load_params_any_layout(ckpt, template)
     print(f"loaded {args.model} classifier from {ckpt}")
 
+    model_f32, params_f32 = model, params  # verify compares bf16 against these
+    if args.dtype == "bf16":
+        model, params = bf16_variant(model, params)
+
     blob = export(model, params)
     output = args.output or f"{args.model}.stablehlo"
     print(f"exported shape-polymorphic forward (L<={args.max_len}, B>=1) for "
@@ -154,7 +164,12 @@ def main(argv=None) -> dict:
     if args.verify:
         clf = ServingClassifier.loads(blob)
         rng = np.random.default_rng(0)
-        worst = 0.0
+        # same-dtype closeness bound: f32 programs differ only by fusion
+        # order; bf16 rounding compounds through the depth, so the bound is
+        # resolution-scale, and classification quality is checked separately
+        # by argmax agreement against the float32 live model
+        tol = 1e-4 if args.dtype == "f32" else 5e-2
+        worst, agree, total = 0.0, 0, 0
         grid_L = min(args.buckets) if clf.time_quantize else 8
         for L, b in ((grid_L, batch), (7, 3)):  # grid shape + odd shape
             tensors = _random_inputs(clf, L, b, rng)
@@ -164,10 +179,21 @@ def main(argv=None) -> dict:
                 else {"deterministic": True}
             )
             want, *_ = model.apply({"params": params}, *tensors, **apply_kw)
-            worst = max(worst, float(np.max(np.abs(got - np.asarray(want)))))
-        print(f"verify: max |artifact - live model| = {worst:.3e}")
-        if not np.isfinite(worst) or worst > 1e-4:
-            raise SystemExit(f"artifact verification FAILED (err={worst})")
+            worst = max(worst, float(np.max(np.abs(got - np.asarray(want, np.float32)))))
+            if args.dtype == "f32":
+                ref = want  # model IS model_f32: don't recompute the forward
+            else:
+                ref, *_ = model_f32.apply({"params": params_f32}, *tensors, **apply_kw)
+            agree += int(np.sum(np.argmax(got, 2) == np.argmax(np.asarray(ref), 2)))
+            total += got.shape[0] * got.shape[1]
+        print(f"verify: max |artifact - live {args.dtype} model| = {worst:.3e}; "
+              f"argmax agreement vs f32 live = {agree}/{total}")
+        if not np.isfinite(worst) or worst > tol:
+            raise SystemExit(f"artifact verification FAILED (err={worst}, tol={tol})")
+        if agree < 0.98 * total:
+            raise SystemExit(
+                f"artifact verification FAILED (argmax agreement {agree}/{total})"
+            )
 
     with open(output, "wb") as f:
         f.write(blob)

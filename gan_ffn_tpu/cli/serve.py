@@ -60,6 +60,7 @@ def make_handler(clf: ServingClassifier):
                     "batch_size": clf.batch_size,
                     "batch_grid": list(clf.batch_grid) if clf.batch_grid else None,
                     "label_names": list(clf.label_names),
+                    "dtype": clf.dtype,
                 })
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
@@ -101,6 +102,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "grid size (e.g. 1,4,8,32) instead of the training "
                         "batch size; small requests then run small programs "
                         "(serving.ServingClassifier batch_grid)")
+    p.add_argument("--warmup", action="store_true", default=False,
+                   help="precompile every shape on the quantization grid "
+                        "before accepting connections, so no on-grid request "
+                        "pays a compile (46 s/shape measured on v5e, "
+                        "PERF.md); batches beyond the grid still compile on "
+                        "first use")
+    p.add_argument("--warmup-lengths", default=None, metavar="L1,L2,...",
+                   help="explicit time lengths to warm — REQUIRED with "
+                        "--warmup for artifacts that run exact request "
+                        "lengths (time_quantize=False, the meld family), "
+                        "which have no finite default grid")
     return p
 
 
@@ -108,6 +120,17 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     grid = [int(b) for b in args.batch_grid.split(",")] if args.batch_grid else None
     clf = ServingClassifier.load(args.artifact, batch_grid=grid)
+    if args.warmup:
+        lengths = (
+            [int(x) for x in args.warmup_lengths.split(",")]
+            if args.warmup_lengths else None
+        )
+        try:
+            timings = clf.warmup(lengths=lengths)
+        except ValueError as e:
+            build_parser().error(f"--warmup: {e}")
+        for L, B, secs in timings:
+            print(f"warmup L={L} B={B}: {secs:.1f}s")
     server = ThreadingHTTPServer((args.host, args.port), make_handler(clf))
     print(f"serving {args.artifact} ({clf.meta.get('model')}, "
           f"buckets {list(clf.buckets)}) on http://{args.host}:{server.server_port}")

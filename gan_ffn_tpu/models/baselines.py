@@ -54,6 +54,11 @@ class MELDLSTMModel(nn.Module):
 
     @nn.compact
     def __call__(self, U, qmask, umask, deterministic: bool = True):
+        if self.dtype is not None:
+            # the LSTM cells run at inputs.dtype (nn/recurrent.py:164), so
+            # casting here puts the dominant 4-layer recurrence on the
+            # requested compute dtype (serving.bf16_variant deployments)
+            U = U.astype(self.dtype)
         emotions, _ = LSTM(
             hidden_size=self.D_e,
             num_layers=4,

@@ -64,7 +64,8 @@ import io
 import json
 import math
 import struct
-from typing import Any, Dict, Optional, Sequence, Tuple
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -135,6 +136,31 @@ def _unpack(blob: bytes) -> Tuple[Dict[str, Any], Dict[str, bytes]]:
     return meta, entries
 
 
+def bf16_variant(model, params):
+    """(model, f32 params) -> the bfloat16 deployment variant of both.
+
+    Returns ``model`` re-parameterized with ``dtype=jnp.bfloat16`` and
+    ``params`` with float32 leaves cast to bfloat16 — so an export bakes
+    HALF the constant bytes and the MXU runs its native precision.
+    GAN_FFN / GAN_FFN_DialogueRNN thread the dtype through their generators
+    and encoders (models/gan_ffn.py:45/81); MELDLSTMModel casts its input
+    feature tensor, which the LSTM stack then follows (the recurrent cells
+    run at ``inputs.dtype``, nn/recurrent.py:164) — its mask-driven
+    attention epilogue stays float32-promoted. Exporters record the dtype
+    in the artifact metadata; ``fwd`` always returns float32 log-probs, so
+    the serve-side API is dtype-invariant.
+    """
+    cast = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+    return model.clone(dtype=jnp.bfloat16), cast
+
+
+def _dtype_name(model) -> str:
+    d = getattr(model, "dtype", None)
+    return "float32" if d is None else jnp.dtype(d).name
+
+
 def _shape_for(kind: str, dim: Optional[int], L, B):
     if kind == "feat" or kind == "qmask":
         return (L, B, dim)
@@ -195,6 +221,7 @@ def _export(
         "dims": {s["name"]: s["dim"] for s in inputs if s["kind"] == "feat"},
         "n_classes": int(getattr(model, "n_classes", len(label_names))),
         "label_names": list(label_names),
+        "dtype": _dtype_name(model),  # compute/constant dtype baked in
         "jax_version": jax.__version__,
     }
     return _pack(meta, {"main": exp.serialize()})
@@ -233,7 +260,7 @@ def export_classifier(
             valid_len=valid_len,
             deterministic=True,
         )
-        return log_prob
+        return log_prob.astype(jnp.float32)  # dtype-invariant serve API
 
     return _export(
         model, fwd, _default_inputs_gan_ffn(d_audio, d_visual, d_text),
@@ -276,7 +303,7 @@ def export_dialoguernn_classifier(
             {"params": params}, audio, visual, text, qmask, umask,
             valid_len=valid_len,
         )
-        return log_prob
+        return log_prob.astype(jnp.float32)  # dtype-invariant serve API
 
     inputs = _default_inputs_gan_ffn(d_audio, d_visual, d_text) + [
         {"name": "qmask", "kind": "qmask", "dim": n_parties},
@@ -316,7 +343,7 @@ def export_meld_classifier(
         log_prob, *_ = model.apply(
             {"params": params}, text, qmask, umask, deterministic=True
         )
-        return log_prob
+        return log_prob.astype(jnp.float32)  # dtype-invariant serve API
 
     inputs = [
         {"name": "text", "kind": "feat", "dim": int(model.D_m)},
@@ -376,6 +403,7 @@ class ServingClassifier:
         self.batch_size: int = meta["batch_size"]
         self.buckets: Tuple[int, ...] = tuple(meta["buckets"])
         self.label_names: Tuple[str, ...] = tuple(meta["label_names"])
+        self.dtype: str = meta.get("dtype", "float32")  # baked compute dtype
         self.quantize = quantize
         if batch_grid is not None and (
             not batch_grid or any(int(b) < 1 for b in batch_grid)
@@ -413,6 +441,76 @@ class ServingClassifier:
         else:
             Bq = max(self.batch_size, math.ceil(B / self.batch_size) * self.batch_size)
         return Lq, Bq
+
+    def warmup(
+        self,
+        *,
+        lengths: Optional[Sequence[int]] = None,
+        batches: Optional[Sequence[int]] = None,
+    ) -> List[Tuple[int, int, float]]:
+        """Precompile the quantization grid so requests never stall.
+
+        Execution specializes per concrete padded shape, so the FIRST
+        request hitting each (bucket, batch) point pays that shape's
+        compile (measured 46 s per grid point on the hosted v5e — PERF.md
+        "serving path"). A production server calls this at startup
+        (``cli/serve.py --warmup``) to move every compile out of the
+        request path.
+
+        ``lengths`` defaults to every time shape :meth:`log_probs` can
+        route a request to: the artifact's buckets, plus ``max_len`` when
+        requests between the largest bucket and the hard max fall through
+        to it. ``batches`` defaults to the ``batch_grid`` if one is set,
+        else the training batch size. Two routes stay unwarmable by
+        construction and compile on first use: batches beyond the grid
+        (quantized to unbounded ``batch_size`` multiples) and — for
+        artifacts with ``time_quantize = False`` (MELD), which run exact
+        request lengths — any length not warmed explicitly; for those
+        there is no finite default grid, so pass the lengths you expect to
+        serve, or get a ValueError.
+
+        Requested shapes are mapped through the same quantization as a real
+        request and DEDUPED, so the returned ``[(L, B, seconds), ...]``
+        lists the padded shapes actually compiled, each exactly once
+        (zero-filled dummy requests through the real :meth:`log_probs`
+        path, so routing and padding are exercised too).
+        """
+        if lengths is None:
+            if self.time_quantize:
+                lengths = self.buckets
+                if not lengths or max(lengths) < self.max_len:
+                    lengths = tuple(lengths) + (self.max_len,)
+            else:
+                lengths = ()
+        if batches is None:
+            batches = self.batch_grid or (self.batch_size,)
+        if not lengths or not batches:
+            if not self.time_quantize and not tuple(lengths):
+                raise ValueError(
+                    "nothing to warm: this artifact runs exact time lengths "
+                    "(time_quantize=False) — pass lengths=(...) for the "
+                    "request lengths you expect to serve"
+                )
+            raise ValueError(
+                f"nothing to warm: empty lengths={tuple(lengths)!r} / "
+                f"batches={tuple(batches)!r}"
+            )
+        shapes: List[Tuple[int, int]] = []
+        for L in lengths:
+            for B in batches:
+                q = self._quantized_shape(int(L), int(B))
+                if q not in shapes:
+                    shapes.append(q)
+        timings: List[Tuple[int, int, float]] = []
+        for L, B in shapes:
+            zeros = [
+                np.zeros(_shape_for(s["kind"], s.get("dim"), L, B), np.float32)
+                for s in self.inputs
+            ]
+            t0 = time.perf_counter()
+            self.log_probs(*zeros)
+            timings.append((L, B, time.perf_counter() - t0))
+        return timings
 
     def log_probs(self, *tensors: np.ndarray, valid_len: Optional[int] = None) -> np.ndarray:
         """Family input tensors -> (L, B, n_classes) float32 log-probs.

@@ -476,3 +476,127 @@ def test_http_server_round_trip(tiny, clf, artifact, tmp_path):
     finally:
         server.shutdown()
         thread.join(timeout=5)
+
+
+# ---------------------------------------------------------------------------
+# warmup(): precompile the quantization grid (cli/serve.py --warmup)
+# ---------------------------------------------------------------------------
+
+
+def test_warmup_covers_quantization_grid(artifact):
+    clf = ServingClassifier.loads(artifact, batch_grid=(1, BATCH))
+    timings = clf.warmup()
+    assert [(L, B) for L, B, _ in timings] == [(8, 1), (8, BATCH),
+                                               (16, 1), (16, BATCH)]
+    assert all(secs >= 0 for *_, secs in timings)
+    # the warmed shapes serve real requests (routing/padding exercised)
+    a, v, t = _inputs(7, 1, seed=3)  # quantizes to (8, 1)
+    assert clf.log_probs(a, v, t).shape == (7, 1, 6)
+
+
+def test_warmup_defaults_to_batch_size_without_grid(clf):
+    timings = clf.warmup()
+    assert [(L, B) for L, B, _ in timings] == [(8, BATCH), (16, BATCH)]
+
+
+def test_warmup_meld_requires_explicit_lengths(meld_clf):
+    # time_quantize=False has no finite default time grid
+    with pytest.raises(ValueError, match="exact time lengths"):
+        meld_clf.warmup()
+    timings = meld_clf.warmup(lengths=(6,))
+    assert [(L, B) for L, B, _ in timings] == [(6, BATCH)]
+
+
+def test_warmup_reports_quantized_shapes_and_dedupes(artifact):
+    clf = ServingClassifier.loads(artifact)
+    # both requested lengths route to the L=8 bucket: ONE warm, labeled
+    # with the shape actually compiled, not the requested one
+    timings = clf.warmup(lengths=(3, 5), batches=(2,))
+    assert [(L, B) for L, B, _ in timings] == [(8, BATCH)]
+    # empty explicit args on a quantizing artifact: the error must blame
+    # the argument, not time_quantize
+    with pytest.raises(ValueError, match="empty lengths"):
+        clf.warmup(lengths=())
+
+
+def test_warmup_default_covers_max_len_fallthrough(tiny):
+    # buckets stop below max_len: requests with max(buckets) < L <= max_len
+    # quantize to max_len, so the default warm grid must include it
+    model, params = tiny
+    blob = export_classifier(
+        model, params, max_len=MAX_LEN, batch_size=BATCH, buckets=(8,),
+        platforms=("cpu",),
+    )
+    clf = ServingClassifier.loads(blob)
+    timings = clf.warmup()
+    assert [(L, B) for L, B, _ in timings] == [(8, BATCH), (MAX_LEN, BATCH)]
+
+
+# ---------------------------------------------------------------------------
+# bf16 deployment variant (serving.bf16_variant, cli/export.py --dtype bf16)
+# ---------------------------------------------------------------------------
+
+
+def test_bf16_export_halves_weights_and_agrees(tiny, artifact):
+    from gan_ffn_tpu.serving import bf16_variant
+
+    model, params = tiny
+    bmodel, bparams = bf16_variant(model, params)
+    assert all(
+        x.dtype == jnp.bfloat16 for x in jax.tree.leaves(bparams)
+    )
+    blob = export_classifier(
+        bmodel, bparams, max_len=MAX_LEN, batch_size=BATCH, buckets=BUCKETS,
+        platforms=("cpu", "tpu"),
+    )
+    # the constants dominate the artifact: bf16 should save ~half
+    assert len(blob) < 0.75 * len(artifact)
+
+    bclf = ServingClassifier.loads(blob)
+    assert bclf.dtype == "bfloat16"
+    a, v, t = _inputs(8, BATCH, seed=9)
+    got = bclf.log_probs(a, v, t)
+    assert got.dtype == np.float32  # dtype-invariant serve API
+
+    # the artifact's contract is the live bf16 model (same computation,
+    # different compile)
+    want, *_ = bmodel.apply(
+        {"params": bparams}, a, v, t,
+        valid_len=jnp.int32(8), deterministic=True,
+    )
+    np.testing.assert_allclose(got, np.asarray(want, np.float32), atol=1e-2, rtol=0)
+
+    # vs the f32 live model only resolution-scale closeness holds; argmax
+    # agreement is NOT asserted here because on RANDOM weights the argmax
+    # sits on near-uniform log-probs and flips with fusion order / jax
+    # version — cli/export.py --verify enforces >=0.98 agreement where it
+    # is meaningful, on trained checkpoints (measured 532/533 on a trained
+    # tiny model)
+    ref = _live(tiny, a, v, t)
+    assert np.max(np.abs(got - ref)) < 5e-2
+
+
+def test_f32_artifact_dtype_metadata(clf):
+    assert clf.dtype == "float32"
+
+
+def test_bf16_meld_variant_runs_lstm_at_bf16(meld):
+    """MELDLSTMModel casts its input to the requested dtype so the 4-layer
+    LSTM stack follows (nn/recurrent.py runs cells at inputs.dtype); the
+    artifact must shrink and stay resolution-close to the f32 live model."""
+    from gan_ffn_tpu.serving import bf16_variant
+
+    model, params = meld
+    bmodel, bparams = bf16_variant(model, params)
+    f32_blob = export_meld_classifier(model, params, batch_size=BATCH,
+                                      platforms=("cpu",))
+    blob = export_meld_classifier(bmodel, bparams, batch_size=BATCH,
+                                  platforms=("cpu",))
+    assert len(blob) < 0.75 * len(f32_blob)
+    bclf = ServingClassifier.loads(blob)
+    assert bclf.dtype == "bfloat16"
+    t, qm, um = _meld_inputs(9, 2, seed=11)
+    got = bclf.log_probs(t, qm, um)
+    assert got.dtype == np.float32
+    want, *_ = model.apply({"params": params}, t, qm, um, deterministic=True)
+    assert np.max(np.abs(got - np.asarray(want))) < 5e-2
