@@ -600,3 +600,35 @@ def test_bf16_meld_variant_runs_lstm_at_bf16(meld):
     assert got.dtype == np.float32
     want, *_ = model.apply({"params": params}, t, qm, um, deterministic=True)
     assert np.max(np.abs(got - np.asarray(want))) < 5e-2
+
+
+def test_serve_cli_warmup_wiring(meld, tmp_path, monkeypatch, capsys):
+    """--warmup on an exact-length (meld) artifact: no lengths -> a clean
+    argparse error (exit 2, not a traceback); --warmup-lengths warms the
+    parsed lengths before the server starts."""
+    from gan_ffn_tpu.cli import serve as serve_cli
+
+    model, params = meld
+    blob = export_meld_classifier(model, params, batch_size=BATCH,
+                                  platforms=("cpu",))
+    path = tmp_path / "meld.stablehlo"
+    path.write_bytes(blob)
+
+    class FakeServer:
+        def __init__(self, addr, handler):
+            self.server_port = addr[1]
+        def serve_forever(self):
+            raise KeyboardInterrupt  # exit main() right after startup
+        def shutdown(self):
+            pass
+
+    monkeypatch.setattr(serve_cli, "ThreadingHTTPServer", FakeServer)
+
+    with pytest.raises(SystemExit) as ei:
+        serve_cli.main(["--artifact", str(path), "--warmup"])
+    assert ei.value.code == 2
+    assert "exact time lengths" in capsys.readouterr().err
+
+    serve_cli.main(["--artifact", str(path), "--warmup", "--warmup-lengths", "6,9"])
+    out = capsys.readouterr().out
+    assert f"warmup L=6 B={BATCH}" in out and f"warmup L=9 B={BATCH}" in out
