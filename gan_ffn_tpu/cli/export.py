@@ -41,9 +41,11 @@ from ..models import GAN_FFN, GAN_FFN_DialogueRNN, MELDLSTMModel
 from ..serving import (
     ServingClassifier,
     bf16_variant,
+    dequantize_weights,
     export_classifier,
     export_dialoguernn_classifier,
     export_meld_classifier,
+    quantize_weights_int8,
 )
 from ..utils.checkpoint import load_params_any_layout
 
@@ -71,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "halves the weight bytes and runs the MXU's native "
                         "precision (serving.bf16_variant); log-prob outputs "
                         "are float32 either way")
+    p.add_argument("--weights", choices=["native", "int8"], default="native",
+                   help="constant storage: int8 bakes per-output-channel "
+                        "weight-only quantized kernels + scales (~4x smaller "
+                        "artifacts vs f32; serving.quantize_weights_int8), "
+                        "dequantized at the top of the exported function; "
+                        "composes with --dtype")
     p.add_argument("--verify", action="store_true", default=False,
                    help="check the artifact against the live model before writing")
     return p
@@ -108,6 +116,7 @@ def main(argv=None) -> dict:
         )
         export = lambda m, p: export_classifier(
             m, p, max_len=args.max_len, batch_size=batch,
+            weights_int8=(args.weights == "int8"),
             buckets=args.buckets, platforms=args.platforms,
         )
     elif args.model == "dialoguernn":
@@ -127,6 +136,7 @@ def main(argv=None) -> dict:
         )
         export = lambda m, p: export_dialoguernn_classifier(
             m, p, max_len=args.max_len, batch_size=batch,
+            weights_int8=(args.weights == "int8"),
             buckets=args.buckets, platforms=args.platforms,
         )
     else:  # meld
@@ -142,6 +152,7 @@ def main(argv=None) -> dict:
         )
         export = lambda m, p: export_meld_classifier(
             m, p, max_len=args.max_len, batch_size=batch,
+            weights_int8=(args.weights == "int8"),
             platforms=args.platforms,
         )
 
@@ -152,9 +163,15 @@ def main(argv=None) -> dict:
     params = load_params_any_layout(ckpt, template)
     print(f"loaded {args.model} classifier from {ckpt}")
 
-    model_f32, params_f32 = model, params  # verify compares bf16 against these
+    model_f32, params_f32 = model, params  # verify's quality baseline
     if args.dtype == "bf16":
         model, params = bf16_variant(model, params)
+    params_verify = params  # what the exported program computes with
+    if args.weights == "int8" and args.verify:
+        # only --verify consumes this; the exporter quantizes internally
+        qf, td, n_q = quantize_weights_int8(params)
+        params_verify = dequantize_weights(qf, td, params)
+        print(f"int8 weight quantization: {n_q} kernel tensors")
 
     blob = export(model, params)
     output = args.output or f"{args.model}.stablehlo"
@@ -178,15 +195,18 @@ def main(argv=None) -> dict:
                 {"valid_len": jnp.int32(L)} if clf.has_valid_len
                 else {"deterministic": True}
             )
-            want, *_ = model.apply({"params": params}, *tensors, **apply_kw)
+            # same-computation bound: params_verify is exactly what the
+            # exported program computes with (incl. int8 dequantization)
+            want, *_ = model.apply({"params": params_verify}, *tensors, **apply_kw)
             worst = max(worst, float(np.max(np.abs(got - np.asarray(want, np.float32)))))
-            if args.dtype == "f32":
+            if args.dtype == "f32" and args.weights == "native":
                 ref = want  # model IS model_f32: don't recompute the forward
             else:
                 ref, *_ = model_f32.apply({"params": params_f32}, *tensors, **apply_kw)
             agree += int(np.sum(np.argmax(got, 2) == np.argmax(np.asarray(ref), 2)))
             total += got.shape[0] * got.shape[1]
-        print(f"verify: max |artifact - live {args.dtype} model| = {worst:.3e}; "
+        variant = args.dtype + ("+int8w" if args.weights == "int8" else "")
+        print(f"verify: max |artifact - live {variant} model| = {worst:.3e}; "
               f"argmax agreement vs f32 live = {agree}/{total}")
         if not np.isfinite(worst) or worst > tol:
             raise SystemExit(f"artifact verification FAILED (err={worst}, tol={tol})")

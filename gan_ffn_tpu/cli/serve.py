@@ -61,6 +61,7 @@ def make_handler(clf: ServingClassifier):
                     "batch_grid": list(clf.batch_grid) if clf.batch_grid else None,
                     "label_names": list(clf.label_names),
                     "dtype": clf.dtype,
+                    "weights": clf.weights,
                 })
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})

@@ -49,6 +49,13 @@ one artifact runs on every exported platform (the +12% Pallas win is a
 TRAIN-step measurement, PERF.md; inference is dominated by the same GEMMs
 either way).
 
+Two deployment-variant knobs compose with every family (``cli/export.py
+--dtype bf16`` / ``--weights int8``): :func:`bf16_variant` re-bakes weights
+and compute at bfloat16 (half the bytes, MXU-native), and
+:func:`quantize_weights_int8` stores the matrix weights as per-output-channel
+symmetric int8 + scales (~4× smaller artifacts), dequantized at the top of
+the exported function. Outputs are float32 log-probs in every variant.
+
 Example
 -------
     blob = export_classifier(model, params)             # train side
@@ -161,6 +168,57 @@ def _dtype_name(model) -> str:
     return "float32" if d is None else jnp.dtype(d).name
 
 
+def quantize_weights_int8(params):
+    """Weight-only per-output-channel symmetric int8 quantization.
+
+    Matrix-shaped float leaves (ndim >= 2 — the Dense/LSTM/attention
+    kernels, where ~all the bytes are) become ``(int8 q, float32 scale)``
+    with one scale per output channel (last axis, the torch/flax kernel
+    convention): ``x ≈ q * scale``, ``q ∈ [-127, 127]``. Vectors and
+    scalars (biases, LayerNorm scales — tiny and precision-sensitive) pass
+    through unquantized. Returns ``(qflat, treedef, n_quantized)`` where
+    ``qflat`` is a flat list of ``(q_or_passthrough, scale_or_None)``.
+
+    An int8 export bakes the int8 tensors + scales as the program's
+    constants — ~4× smaller artifacts than float32 — and dequantizes at
+    the top of the exported function (one convert+multiply per weight,
+    noise next to the matmuls it feeds).
+    """
+    flat, treedef = jax.tree.flatten(params)
+    qflat, n = [], 0
+    for x in flat:
+        if x.ndim >= 2 and jnp.issubdtype(x.dtype, jnp.floating):
+            xf = jnp.asarray(x, jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            scale = jnp.max(jnp.abs(xf), axis=axes, keepdims=True) / 127.0
+            scale = jnp.where(scale == 0, jnp.float32(1.0), scale)
+            q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+            qflat.append((q, scale.astype(jnp.float32)))
+            n += 1
+        else:
+            qflat.append((x, None))
+    return qflat, treedef, n
+
+
+def dequantize_weights(qflat, treedef, params_template=None):
+    """Materialize a params tree from :func:`quantize_weights_int8` output.
+
+    Dequantized leaves come back at their template leaf's dtype when
+    ``params_template`` is given (so a bf16 model gets bf16 weights),
+    float32 otherwise.
+    """
+    tdtypes = (
+        [t.dtype for t in jax.tree.leaves(params_template)]
+        if params_template is not None else [None] * len(qflat)
+    )
+    leaves = [
+        q if s is None
+        else (q.astype(jnp.float32) * s).astype(td or jnp.float32)
+        for (q, s), td in zip(qflat, tdtypes)
+    ]
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def _shape_for(kind: str, dim: Optional[int], L, B):
     if kind == "feat" or kind == "qmask":
         return (L, B, dim)
@@ -182,6 +240,7 @@ def _export(
     buckets: Sequence[int],
     platforms: Sequence[str],
     label_names: Sequence[str],
+    weights: Optional[str] = None,
 ) -> bytes:
     """Shared exporter: lower ``fwd`` shape-polymorphically and pack it.
 
@@ -221,10 +280,22 @@ def _export(
         "dims": {s["name"]: s["dim"] for s in inputs if s["kind"] == "feat"},
         "n_classes": int(getattr(model, "n_classes", len(label_names))),
         "label_names": list(label_names),
-        "dtype": _dtype_name(model),  # compute/constant dtype baked in
+        "dtype": _dtype_name(model),  # compute dtype baked in
+        "weights": weights or _dtype_name(model),  # constant storage dtype
         "jax_version": jax.__version__,
     }
     return _pack(meta, {"main": exp.serialize()})
+
+
+def _params_source(params, weights_int8: bool):
+    """Zero-arg params closure for an exporter: identity, or int8-weight
+    dequantizing — then the int8 tensors + per-channel scales (not the
+    float weights) become the exported program's constants."""
+    if not weights_int8:
+        return lambda: params
+    qflat, treedef, _ = quantize_weights_int8(params)
+    template = params  # leaf dtypes only; the float arrays are not traced
+    return lambda: dequantize_weights(qflat, treedef, template)
 
 
 def export_classifier(
@@ -239,6 +310,7 @@ def export_classifier(
     d_visual: int = 512,
     d_text: int = 100,
     label_names: Sequence[str] = DEFAULT_LABEL_NAMES,
+    weights_int8: bool = False,
 ) -> bytes:
     """Export ``GAN_FFN``'s deterministic forward with ``params`` baked in.
 
@@ -250,10 +322,11 @@ def export_classifier(
     shape-quantization grid, not baked into the function.
     """
     params = jax.device_get(params)  # bake host copies, not device refs
+    get_params = _params_source(params, weights_int8)
 
     def fwd(audio, visual, text, valid_len):
         log_prob, *_ = model.apply(
-            {"params": params},
+            {"params": get_params()},
             audio,
             visual,
             text,
@@ -267,6 +340,7 @@ def export_classifier(
         family="gan_ffn", has_valid_len=True, time_quantize=True,
         max_len=max_len, batch_size=batch_size, buckets=buckets,
         platforms=platforms, label_names=label_names,
+        weights="int8" if weights_int8 else None,
     )
 
 
@@ -283,6 +357,7 @@ def export_dialoguernn_classifier(
     d_text: int = 100,
     n_parties: int = 2,
     label_names: Sequence[str] = DEFAULT_LABEL_NAMES,
+    weights_int8: bool = False,
 ) -> bytes:
     """Export ``GAN_FFN_DialogueRNN`` (generators + full BiModel scan stack).
 
@@ -297,10 +372,11 @@ def export_dialoguernn_classifier(
     params = jax.device_get(params)
     if getattr(model, "deterministic", True) is not True:
         model = model.clone(deterministic=True)  # serve-side forward is eval-mode
+    get_params = _params_source(params, weights_int8)
 
     def fwd(audio, visual, text, qmask, umask, valid_len):
         log_prob, *_ = model.apply(
-            {"params": params}, audio, visual, text, qmask, umask,
+            {"params": get_params()}, audio, visual, text, qmask, umask,
             valid_len=valid_len,
         )
         return log_prob.astype(jnp.float32)  # dtype-invariant serve API
@@ -314,6 +390,7 @@ def export_dialoguernn_classifier(
         family="gan_ffn_dialoguernn", has_valid_len=True, time_quantize=True,
         max_len=max_len, batch_size=batch_size, buckets=buckets,
         platforms=platforms, label_names=label_names,
+        weights="int8" if weights_int8 else None,
     )
 
 
@@ -326,6 +403,7 @@ def export_meld_classifier(
     platforms: Sequence[str] = ("cpu", "tpu"),
     n_parties: int = 9,
     label_names: Sequence[str] = MELD_LABEL_NAMES,
+    weights_int8: bool = False,
 ) -> bytes:
     """Export ``MELDLSTMModel`` — ``(text (L,B,D_m), qmask (L,B,9),
     umask (B,L)) -> log_prob (L,B,C)``.
@@ -338,10 +416,11 @@ def export_meld_classifier(
     — the model has no positional table.
     """
     params = jax.device_get(params)
+    get_params = _params_source(params, weights_int8)
 
     def fwd(text, qmask, umask):
         log_prob, *_ = model.apply(
-            {"params": params}, text, qmask, umask, deterministic=True
+            {"params": get_params()}, text, qmask, umask, deterministic=True
         )
         return log_prob.astype(jnp.float32)  # dtype-invariant serve API
 
@@ -355,6 +434,7 @@ def export_meld_classifier(
         family="meld_lstm", has_valid_len=False, time_quantize=False,
         max_len=max_len, batch_size=batch_size, buckets=(),
         platforms=platforms, label_names=label_names,
+        weights="int8" if weights_int8 else None,
     )
 
 
@@ -404,6 +484,8 @@ class ServingClassifier:
         self.buckets: Tuple[int, ...] = tuple(meta["buckets"])
         self.label_names: Tuple[str, ...] = tuple(meta["label_names"])
         self.dtype: str = meta.get("dtype", "float32")  # baked compute dtype
+        # constant storage dtype ("int8" = weight-only quantized constants)
+        self.weights: str = meta.get("weights", self.dtype)
         self.quantize = quantize
         if batch_grid is not None and (
             not batch_grid or any(int(b) < 1 for b in batch_grid)

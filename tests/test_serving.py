@@ -632,3 +632,79 @@ def test_serve_cli_warmup_wiring(meld, tmp_path, monkeypatch, capsys):
     serve_cli.main(["--artifact", str(path), "--warmup", "--warmup-lengths", "6,9"])
     out = capsys.readouterr().out
     assert f"warmup L=6 B={BATCH}" in out and f"warmup L=9 B={BATCH}" in out
+
+
+# ---------------------------------------------------------------------------
+# int8 weight-only quantized artifacts (serving.quantize_weights_int8,
+# cli/export.py --weights int8)
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_weights_int8_unit():
+    from gan_ffn_tpu.serving import dequantize_weights, quantize_weights_int8
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "k": jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(8,)).astype(np.float32)),
+        "zero": jnp.zeros((4, 4), jnp.float32),  # all-zero channel guard
+    }
+    qflat, td, n = quantize_weights_int8(tree)
+    assert n == 2  # the two matrices; the bias passes through
+    deq = dequantize_weights(qflat, td, tree)
+    np.testing.assert_array_equal(np.asarray(deq["b"]), np.asarray(tree["b"]))
+    np.testing.assert_array_equal(np.asarray(deq["zero"]), 0.0)
+    # per-output-channel symmetric: |error| <= scale/2 everywhere
+    k = np.asarray(tree["k"])
+    scale = np.abs(k).max(axis=0) / 127.0
+    err = np.abs(np.asarray(deq["k"]) - k)
+    assert np.all(err <= scale / 2 + 1e-7)
+    assert all(q.dtype == jnp.int8 for q, s in qflat if s is not None)
+
+
+def test_int8_artifact_matches_dequantized_live(tiny, artifact):
+    from gan_ffn_tpu.serving import dequantize_weights, quantize_weights_int8
+
+    model, params = tiny
+    blob = export_classifier(
+        model, params, max_len=MAX_LEN, batch_size=BATCH, buckets=BUCKETS,
+        platforms=("cpu", "tpu"), weights_int8=True,
+    )
+    # the kernels dominate the artifact: int8 should save ~3/4
+    assert len(blob) < 0.45 * len(artifact)
+    clf8 = ServingClassifier.loads(blob)
+    assert clf8.weights == "int8" and clf8.dtype == "float32"
+
+    a, v, t = _inputs(8, 2, seed=13)
+    got = clf8.log_probs(a, v, t)
+    # exact contract: the live model applied to the SAME dequantized params
+    # the exported program reconstructs from its int8 constants
+    qf, td, _ = quantize_weights_int8(jax.device_get(params))
+    pdq = dequantize_weights(qf, td, params)
+    want, *_ = model.apply(
+        {"params": pdq}, a, v, t, valid_len=jnp.int32(8), deterministic=True
+    )
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-4, rtol=0)
+
+
+def test_int8_export_cli_wiring(tiny, tmp_path):
+    from gan_ffn_tpu.cli import export as export_cli
+    from gan_ffn_tpu.utils.checkpoint import save_params
+
+    model, params = tiny
+    save_dir = tmp_path / "GAN_save"
+    save_dir.mkdir()
+    save_params(str(save_dir / "classifier_best.msgpack"), params)
+    out = tmp_path / "gan_ffn_int8.stablehlo"
+    # no --verify: its argmax-agreement gate is meaningful on trained
+    # checkpoints, not random init (see test_bf16_export_halves_weights...)
+    export_cli.main([
+        "--model-save-path", str(save_dir), "--output", str(out),
+        "--num-layers", "1", "--batch-size", str(BATCH),
+        "--max-len", str(MAX_LEN), "--buckets", "8", "16",
+        "--platforms", "cpu", "--weights", "int8",
+    ])
+    clf8 = ServingClassifier.load(str(out))
+    assert clf8.weights == "int8"
+    a, v, t = _inputs(8, 2, seed=14)
+    assert clf8.predict(a, v, t).shape == (8, 2)
