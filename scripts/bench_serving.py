@@ -16,14 +16,16 @@ Measures the deployment story end to end at the production geometry
    batch target — the worst-case padding waste a server pays),
 6. the same B=1 request under the ``batch_grid`` latency policy (padded to
    a B=1 program instead of the training batch),
-7. with ``--bf16``: the bfloat16 deployment variant (``serving.
-   bf16_variant`` — weights baked at half the bytes, MXU-native compute):
-   size, production-path and device-resident request times, max |err| and
-   argmax agreement vs the f32 artifact.
+7. with ``--bf16`` / ``--int8``: the deployment variants
+   (``serving.bf16_variant`` — weights baked at half the bytes, MXU-native
+   compute; ``serving.quantize_weights_int8`` — ~4x smaller artifacts,
+   int8 constants dequantized in-program): size, production-path and
+   device-resident request times, max |err| and argmax agreement vs the
+   f32 artifact.
 
 ``--artifact PATH`` reuses a previously exported blob when the file exists
 (the 8-layer multi-platform export costs ~8 min on the hosted session);
-the bf16 leg caches at ``PATH.bf16``.
+the variant legs cache at ``PATH.bf16`` / ``PATH.int8``.
 
 Run on the real TPU (exclusive — no other jax process):
     PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_serving.py
@@ -61,6 +63,8 @@ def main(argv=None):
                    help="path to cache the exported blob across runs")
     p.add_argument("--bf16", action="store_true", default=False,
                    help="also export+measure the bfloat16 deployment variant")
+    p.add_argument("--int8", action="store_true", default=False,
+                   help="also export+measure the int8-weight deployment variant")
     args = p.parse_args(argv)
     L, B = args.length, args.batch
 
@@ -150,46 +154,53 @@ def main(argv=None):
         lambda: clf_grid.log_probs(*one), "artifact B=1 (batch_grid)"
     )
 
-    bf16_stats = {}
+    def variant_leg(tag: str, make_blob) -> dict:
+        path = f"{args.artifact}.{tag}" if args.artifact else None
+        if path and os.path.exists(path):
+            with open(path, "rb") as f:
+                vblob = f.read()
+            vexp_s = 0.0
+            print(f"[export {tag}] reused {path}, {len(vblob)/1e6:.1f} MB", flush=True)
+        else:
+            t0 = time.time()
+            vblob = make_blob()
+            vexp_s = time.time() - t0
+            print(f"[export {tag}] {vexp_s:.1f} s, {len(vblob)/1e6:.1f} MB", flush=True)
+            if path:
+                with open(path, "wb") as f:
+                    f.write(vblob)
+        vclf = ServingClassifier.loads(vblob)
+        v_out, v_ms = timed(
+            lambda: vclf.log_probs(a, v, t), f"artifact {tag}", utt=B * L
+        )
+        _, v_dev_ms = timed(
+            lambda: jax.block_until_ready(vclf._fn.call(da, dv, dt, vl)),
+            f"artifact {tag} (device inputs)", utt=B * L,
+        )
+        return {
+            f"{tag}_export_s": round(vexp_s, 1),
+            f"{tag}_artifact_mb": round(len(vblob) / 1e6, 1),
+            f"{tag}_artifact_ms": round(v_ms, 2),
+            f"{tag}_device_ms": round(v_dev_ms, 2),
+            f"{tag}_device_speedup_vs_f32": round(art_dev_ms / v_dev_ms, 3),
+            f"{tag}_max_err_vs_f32": float(np.max(np.abs(v_out - art_out))),
+            f"{tag}_argmax_agreement_vs_f32": float(
+                np.mean(np.argmax(v_out, 2) == np.argmax(art_out, 2))
+            ),
+        }
+
+    variant_stats = {}
     if args.bf16:
         from gan_ffn_tpu.serving import bf16_variant
 
-        bpath = (args.artifact + ".bf16") if args.artifact else None
-        if bpath and os.path.exists(bpath):
-            with open(bpath, "rb") as f:
-                bblob = f.read()
-            bexp_s = 0.0
-            print(f"[export bf16] reused {bpath}, {len(bblob)/1e6:.1f} MB", flush=True)
-        else:
-            t0 = time.time()
-            bmodel, bparams = bf16_variant(model, params)
-            bblob = export_classifier(
-                bmodel, bparams, max_len=L, batch_size=B, buckets=(L,)
-            )
-            bexp_s = time.time() - t0
-            print(f"[export bf16] {bexp_s:.1f} s, {len(bblob)/1e6:.1f} MB", flush=True)
-            if bpath:
-                with open(bpath, "wb") as f:
-                    f.write(bblob)
-        bclf = ServingClassifier.loads(bblob)
-        bf_out, bf_ms = timed(
-            lambda: bclf.log_probs(a, v, t), "artifact bf16", utt=B * L
-        )
-        _, bf_dev_ms = timed(
-            lambda: jax.block_until_ready(bclf._fn.call(da, dv, dt, vl)),
-            "artifact bf16 (device inputs)", utt=B * L,
-        )
-        bf16_stats = {
-            "bf16_export_s": round(bexp_s, 1),
-            "bf16_artifact_mb": round(len(bblob) / 1e6, 1),
-            "bf16_artifact_ms": round(bf_ms, 2),
-            "bf16_device_ms": round(bf_dev_ms, 2),
-            "bf16_device_speedup_vs_f32": round(art_dev_ms / bf_dev_ms, 3),
-            "bf16_max_err_vs_f32": float(np.max(np.abs(bf_out - art_out))),
-            "bf16_argmax_agreement_vs_f32": float(
-                np.mean(np.argmax(bf_out, 2) == np.argmax(art_out, 2))
-            ),
-        }
+        variant_stats.update(variant_leg("bf16", lambda: export_classifier(
+            *bf16_variant(model, params), max_len=L, batch_size=B, buckets=(L,)
+        )))
+    if args.int8:
+        variant_stats.update(variant_leg("int8", lambda: export_classifier(
+            model, params, max_len=L, batch_size=B, buckets=(L,),
+            weights_int8=True,
+        )))
 
     print(json.dumps({
         "bench": "serving",
@@ -209,7 +220,7 @@ def main(argv=None):
         "b1_latency_ms": round(lat_ms, 2),
         "b1_latency_grid_ms": round(lat_grid_ms, 2),
         "max_abs_err_vs_live": err,
-        **bf16_stats,
+        **variant_stats,
     }))
 
 
