@@ -193,12 +193,51 @@ def bench_stage_a(args):
     jax.block_until_ready(losses["duel_11"])
     times = timed_loop(step_once, lambda l: l["duel_11"], args.steps)
 
-    return {
+    stats = {
         "metric": "utterances/sec/chip (fused 12-duel stage-A GAN step)",
         **throughput_stats(
             float(umask.sum()) * args.steps, times, REFERENCE_V100_STAGE_A_UPS
         ),
     }
+
+    # epoch-fused variant (--epoch-fused / make_gan_epoch_step): one dispatch
+    # per 4-batch epoch removes the per-step tunnel round-trip the line above
+    # pays (measured 4.37x, PERF.md "stage-A dispatch"). Reported as extra
+    # fields on the same JSON line; guarded so a cold-cache compile failure
+    # cannot take down the driver's bench capture.
+    try:
+        import sys
+
+        from gan_ffn_tpu.train.gan import make_gan_epoch_step
+
+        N = 4  # reference stage A: 120 train dialogues / batch 32
+        stacked = {k: jnp.stack([gan_batch[k]] * N) for k in gan_batch}
+        epoch_step = make_gan_epoch_step(cfg)
+        fholder = {"state": init_gan_state(cfg, jax.random.PRNGKey(0)),
+                   "key": jax.random.PRNGKey(2)}
+
+        def epoch_once():
+            keys = jax.random.split(fholder["key"], N + 1)
+            fholder["key"] = keys[0]
+            fholder["state"], l = epoch_step(fholder["state"], stacked, keys[1:])
+            return l
+
+        jax.block_until_ready(epoch_once()["duel_11"])
+        n_epochs = max(1, args.steps // N)
+        times_f = timed_loop(epoch_once, lambda l: l["duel_11"], n_epochs)
+        fused = throughput_stats(
+            float(umask.sum()) * N * n_epochs, times_f, REFERENCE_V100_STAGE_A_UPS
+        )
+        stats.update({
+            "epoch_fused_value": fused["value"],
+            "epoch_fused_median": fused["median"],
+            "epoch_fused_spread": fused["spread"],
+            "epoch_fused_vs_baseline": fused["vs_baseline"],
+        })
+    except Exception as e:  # pragma: no cover - defensive driver guard
+        print(f"stage-a epoch-fused leg skipped: {e!r}", file=sys.stderr)
+
+    return stats
 
 
 def bench_dialoguernn(args):

@@ -60,6 +60,7 @@ def train_gan(
     log_every_batch: bool = True,
     mesh=None,
     step: Optional[Callable] = None,
+    epoch_fused: bool = False,
 ) -> Tuple[GANState, LossHistory]:
     """Adversarial pre-training stage (reference train_GAN,
     train_IEMOCAP.py:255-393).
@@ -74,6 +75,17 @@ def train_gan(
     ``make_gan_train_step`` and pass it via ``step`` — a fresh step per
     segment re-lowers and re-loads the cached multi-hundred-MB executables
     on every call (~59 s/segment measured over the hosted tunnel).
+
+    ``epoch_fused`` (opt-in, ``--epoch-fused``) dispatches ONE
+    ``make_gan_epoch_step`` program per same-shape batch group per epoch
+    instead of one program per batch — the hosted stage-A step is
+    dispatch-bound, not compute-bound (PERF.md "stage-A dispatch"). Every
+    batch gets the exact PRNG key the per-batch loop would have split
+    (loader order), so a single-group epoch is numerically identical; when
+    an epoch spans several bucket shapes the groups run sequentially, so
+    parameter updates REORDER across groups relative to loader order (the
+    CSV row still reports the last batch in loader order). ``step`` must
+    then be a ``make_gan_epoch_step`` product if given.
     """
     if state is None:
         state = init_gan_state(cfg, jax.random.PRNGKey(cfg.seed))
@@ -82,7 +94,12 @@ def train_gan(
     if rng is None:
         rng = jax.random.PRNGKey(cfg.seed + 1)
     if step is None:
-        step = make_gan_train_step(cfg, mesh=mesh)
+        if epoch_fused:
+            from ..train.gan import make_gan_epoch_step
+
+            step = make_gan_epoch_step(cfg, mesh=mesh)
+        else:
+            step = make_gan_train_step(cfg, mesh=mesh)
     if mesh is not None:
         from ..parallel.mesh import replicate
 
@@ -96,16 +113,52 @@ def train_gan(
         # prefetch overlaps the next batch's H2D copy with the current step
         # (same pipeline the classifier's run_epoch uses)
         epoch_losses = []
-        for batch, arrays in prefetch_to_device(train_loader):
-            rng, sub = jax.random.split(rng)
-            gan_batch = gan_batch_from(arrays)
-            if mesh is not None:
-                from ..parallel.mesh import shard_batch
+        if epoch_fused:
+            items = [
+                (batch, gan_batch_from(arrays))
+                for batch, arrays in prefetch_to_device(train_loader)
+            ]
+            if not items:
+                continue
+            # the per-batch loop's exact key chain, in loader order
+            keys = []
+            for _ in items:
+                rng, sub = jax.random.split(rng)
+                keys.append(sub)
+            # group same-shape batches (stable order within a group)
+            groups: Dict[tuple, list] = {}
+            for idx, (_, gb) in enumerate(items):
+                sig = tuple((k, tuple(gb[k].shape)) for k in sorted(gb))
+                groups.setdefault(sig, []).append(idx)
+            rows = [None] * len(items)
+            for idxs in groups.values():
+                stacked = {
+                    k: jnp.stack([items[i][1][k] for i in idxs])
+                    for k in items[idxs[0]][1]
+                }
+                kstack = jnp.stack([keys[i] for i in idxs])
+                state, group_losses = step(state, stacked, kstack)
+                # ONE transfer per group (6 small arrays) — per-scalar
+                # indexing would pay 6N of the dispatch round-trips this
+                # path exists to remove
+                fetched_group = jax.device_get(
+                    {k: group_losses[k] for k in LOGGED_LOSS_KEYS}
+                )
+                for j, i in enumerate(idxs):
+                    rows[i] = {k: fetched_group[k][j] for k in LOGGED_LOSS_KEYS}
+            utterances = sum(b.n_utterances for b, _ in items)
+            epoch_losses = rows
+        else:
+            for batch, arrays in prefetch_to_device(train_loader):
+                rng, sub = jax.random.split(rng)
+                gan_batch = gan_batch_from(arrays)
+                if mesh is not None:
+                    from ..parallel.mesh import shard_batch
 
-                gan_batch = shard_batch(gan_batch, mesh)
-            state, losses = step(state, gan_batch, sub)
-            utterances += batch.n_utterances
-            epoch_losses.append({k: losses[k] for k in LOGGED_LOSS_KEYS})
+                    gan_batch = shard_batch(gan_batch, mesh)
+                state, losses = step(state, gan_batch, sub)
+                utterances += batch.n_utterances
+                epoch_losses.append({k: losses[k] for k in LOGGED_LOSS_KEYS})
         if not epoch_losses:
             continue
         fetched = jax.device_get(epoch_losses)

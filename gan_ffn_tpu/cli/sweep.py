@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true", default=False)
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--num-layers", type=int, default=8)
+    p.add_argument("--epoch-fused", action="store_true", default=False,
+                   help="stage A dispatches ONE scanned program per "
+                        "same-shape batch group per epoch — the sweep is "
+                        "15.3x stage-A-bound and the hosted 12-duel step is "
+                        "dispatch-bound (PERF.md stage-A dispatch)")
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=3407)
     p.add_argument("--synthetic-train", type=int, default=120)
@@ -125,9 +130,17 @@ def main(argv=None) -> dict:
     snapshot_gens = jax.jit(
         lambda p: jax.tree.map(jnp.copy, {k: p[k] for k in GENERATOR_GAN_KEYS})
     )
-    from ..train.gan import make_gan_train_step
+    from ..train.gan import make_gan_epoch_step, make_gan_train_step
 
-    gan_step = make_gan_train_step(gan_cfg)  # built ONCE across all segments
+    # built ONCE across all segments (a fresh step per segment re-loads the
+    # cached multi-hundred-MB executables, ~59 s/segment); --epoch-fused
+    # dispatches one scanned program per epoch instead of one per batch —
+    # the sweep's cost model is 15.3x stage-A-bound and the hosted 12-duel
+    # step is dispatch-bound (PERF.md "stage-A dispatch")
+    gan_step = (
+        make_gan_epoch_step(gan_cfg) if args.epoch_fused
+        else make_gan_train_step(gan_cfg)
+    )
     snapshots = {}
     state, history = None, []
     prev = 0
@@ -135,6 +148,7 @@ def main(argv=None) -> dict:
         state, history = train_gan(
             gan_cfg, gan_train_loader, g - prev, state=state, history=history,
             start_epoch=prev, log_every_batch=False, step=gan_step,
+            epoch_fused=args.epoch_fused,
         )
         prev = g
         snapshots[g] = snapshot_gens(state["params"])

@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "12-duel schedule into one program (fast steps, long first "
                         "compile); 'stepwise' jits the 12 duels separately (fast "
                         "compiles — the right choice for CPU-hosted runs)")
+    p.add_argument("--epoch-fused", action="store_true", default=False,
+                   help="stage A dispatches ONE scanned program per same-shape "
+                        "batch group per epoch instead of one per batch — the "
+                        "hosted 12-duel step is dispatch-bound (PERF.md "
+                        "stage-A dispatch). Per-batch PRNG keys match the "
+                        "per-batch loop exactly; when an epoch spans several "
+                        "bucket shapes, updates reorder across groups")
     p.add_argument("--lr-schedule", choices=("reference", "decay"), default="reference",
                    help="reference: constant lr (per-batch LambdaLR quirk); decay: "
                         "honest 0.98^epoch decay")
@@ -103,6 +110,15 @@ def main(argv=None) -> dict:
     # default: pins the process-global (stage B traces the same param layout
     # stage A built) and flows into GANConfig (stage A pins it lexically)
     args.scan_layers = resolve_scan_layers(args.scan_layers)
+    if args.epoch_fused and args.gan_schedule == "stepwise":
+        build_parser().error(
+            "--epoch-fused scans the FUSED 12-duel program (an even larger "
+            "build than --gan-schedule fused); it cannot honor stepwise's "
+            "fast-compile promise — drop one of the two flags")
+    if args.epoch_fused and args.dp:
+        build_parser().error(
+            "--epoch-fused is not wired for --dp (the stacked epoch is not "
+            "mesh-sharded); use per-batch --dp, or --epoch-fused single-chip")
     print(f"Running on {wait_for_device()[0].platform}")
 
     if args.synthetic and not os.path.exists(args.data_path):
@@ -141,7 +157,8 @@ def main(argv=None) -> dict:
             gan_mesh = make_mesh()
             print(f"stage A data parallelism over {jax.device_count()} devices")
         gan_state, history = train_gan(
-            gan_cfg, gan_train_loader, args.GAN_epochs, mesh=gan_mesh
+            gan_cfg, gan_train_loader, args.GAN_epochs, mesh=gan_mesh,
+            epoch_fused=args.epoch_fused,
         )
         save_gan_loss_csv(history, os.path.join(args.output_dir, "GAN_loss.csv"))
         draw_gan_loss(history, os.path.join(args.output_dir, "GAN_loss.png"))

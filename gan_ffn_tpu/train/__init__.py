@@ -3,6 +3,7 @@ from .gan import (
     GANState,
     create_gan_modules,
     init_gan_state,
+    make_gan_epoch_step,
     make_gan_train_step,
     LOGGED_LOSS_KEYS,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "init_classifier_state",
     "init_gan_state",
     "make_classifier_steps",
+    "make_gan_epoch_step",
     "make_gan_train_step",
     "run_epoch",
     "torch_adam",

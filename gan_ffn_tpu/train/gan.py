@@ -203,31 +203,11 @@ def _duel_mask(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return mask.astype(jnp.float32)[:, :, None]
 
 
-def make_gan_train_step(cfg: GANConfig, mesh=None):
-    """Build the GAN train step over the 12-duel schedule.
-
-    step(state, batch, rng) -> (state, losses) where batch carries
-    text/visual/audio (L, B, D), valid_len (), n_real () and losses maps each
-    schedule entry index and the six logged CSV keys to scalars.
-
-    ``mesh`` (optional ``jax.sharding.Mesh``) runs the step data-parallel:
-    params/opt replicate, the batch axis shards over the mesh, and XLA
-    inserts the gradient all-reduces over ICI. This is the TPU-native
-    replacement for the reference wrapping the six GAN nets in
-    ``nn.DataParallel`` for stage A (train_IEMOCAP.py:588-593) — and unlike
-    DataParallel (which README.md:83 records as DEGRADING accuracy) it is
-    numerically equivalent to the single-device step, because the masked BCE
-    means are computed globally (verified in tests/test_parallel.py::
-    test_gan_dp_step_matches_single_device). Sharding constraints are applied
-    inside the program, so callers may pass host arrays or pre-sharded ones
-    (``parallel.shard_batch``).
-
-    ``cfg.fused_schedule`` selects the compilation strategy:
-    - True (default): ONE jitted program for all 12 duels — minimal dispatch,
-      maximal XLA overlap, but a long first compile;
-    - False: 12 separately-jitted duel programs — each compiles fast and
-      caches incrementally, at ~ms extra dispatch per batch.
-    """
+def _make_schedule_fns(cfg: GANConfig, mesh=None):
+    """``(run_schedule, duel_update)`` — the un-jitted 12-duel schedule and
+    its per-duel core, shared by :func:`make_gan_train_step` (which wraps
+    ``run_schedule`` in jit / the AOT cache) and :func:`make_gan_epoch_step`
+    (which scans it over a whole epoch's batches in ONE program)."""
     modules = create_gan_modules(cfg)
     opts = create_gan_optimizers(cfg)
 
@@ -340,6 +320,36 @@ def make_gan_train_step(cfg: GANConfig, mesh=None):
                 losses[log_key] = loss  # duplicate-key overwrite, as in reference
             return {"params": params, "opt": opt_state}, losses
 
+    return run_schedule, duel_update
+
+
+def make_gan_train_step(cfg: GANConfig, mesh=None):
+    """Build the GAN train step over the 12-duel schedule.
+
+    step(state, batch, rng) -> (state, losses) where batch carries
+    text/visual/audio (L, B, D), valid_len (), n_real () and losses maps each
+    schedule entry index and the six logged CSV keys to scalars.
+
+    ``mesh`` (optional ``jax.sharding.Mesh``) runs the step data-parallel:
+    params/opt replicate, the batch axis shards over the mesh, and XLA
+    inserts the gradient all-reduces over ICI. This is the TPU-native
+    replacement for the reference wrapping the six GAN nets in
+    ``nn.DataParallel`` for stage A (train_IEMOCAP.py:588-593) — and unlike
+    DataParallel (which README.md:83 records as DEGRADING accuracy) it is
+    numerically equivalent to the single-device step, because the masked BCE
+    means are computed globally (verified in tests/test_parallel.py::
+    test_gan_dp_step_matches_single_device). Sharding constraints are applied
+    inside the program, so callers may pass host arrays or pre-sharded ones
+    (``parallel.shard_batch``).
+
+    ``cfg.fused_schedule`` selects the compilation strategy:
+    - True (default): ONE jitted program for all 12 duels — minimal dispatch,
+      maximal XLA overlap, but a long first compile;
+    - False: 12 separately-jitted duel programs — each compiles fast and
+      caches incrementally, at ~ms extra dispatch per batch.
+    """
+    run_schedule, duel_update = _make_schedule_fns(cfg, mesh)
+
     if cfg.fused_schedule:
         if cfg.aot_cache:
             from ..utils.aot import ShapeDispatchingAOT
@@ -384,3 +394,63 @@ def make_gan_train_step(cfg: GANConfig, mesh=None):
         return {"params": params, "opt": opt_state}, losses
 
     return stepwise
+
+
+def make_gan_epoch_step(cfg: GANConfig, mesh=None):
+    """ONE program running a whole stage-A epoch: ``lax.scan`` of the
+    12-duel schedule over a stacked group of same-shape batches.
+
+    epoch_step(state, stacked_batch, keys) -> (state, stacked_losses) where
+    ``stacked_batch`` carries each batch tensor with a leading step axis
+    (text (N, L, B, D), ..., valid_len (N,), n_real (N,)) and ``keys`` is
+    the (N, 2) stack of per-batch PRNG keys — the SAME keys the per-batch
+    loop in cli/common.py::train_gan would have split, so a single-group
+    epoch is numerically identical to N per-batch dispatches (pinned by
+    tests/test_epoch_fused.py).
+
+    Motivation (hosted measurement, PERF.md "stage-A dispatch"): the fused
+    12-duel step spends ~6.6 ms on device but 22-37 ms wall per dispatch
+    over the hosted tunnel, and the async dispatch queue does NOT pipeline
+    those round-trips — stage A (and the sweep built on it, whose cost
+    model is 15.3x stage-A-bound) is dispatch-bound, not compute-bound.
+    Scanning the schedule over the epoch amortizes one dispatch across N
+    steps — the standard TPU move of putting the training loop on device.
+    Semantics: within a bucket group this is the exact per-batch math; when
+    an epoch spans several bucket shapes the groups run sequentially
+    (updates reorder ACROSS groups vs loader order — cli/common.py
+    documents the opt-in).
+
+    Compiles once per distinct (N, L, B) stacked shape, cached via the AOT
+    executable cache like the per-batch step. NOTE the loader's per-epoch
+    shuffle can vary the grouping — an epoch whose shuffle concentrates
+    short dialogues differently yields a new (N, L) signature and pays that
+    shape's compile mid-run (then lands in the disk cache for every later
+    epoch/process). The per-batch step only ever compiles one program per
+    (L, B) bucket; at the reference scale (120 train dialogues, batch 32,
+    most dialogues in the top bucket) the fused path typically sees one or
+    two signatures. ``cfg.fused_schedule`` is ignored here: the scan body IS
+    the fused schedule (the CLIs reject ``--epoch-fused`` +
+    ``--gan-schedule stepwise``).
+    """
+    run_schedule, _ = _make_schedule_fns(cfg, mesh)
+
+    def epoch_fn(state, stacked, keys):
+        def body(st, xs):
+            batch, key = xs
+            st2, losses = run_schedule(st, batch, key)
+            return st2, losses
+
+        return jax.lax.scan(body, state, (stacked, keys))
+
+    if cfg.aot_cache:
+        from ..utils.aot import ShapeDispatchingAOT
+
+        mesh_tag = dict(mesh.shape) if mesh is not None else None
+        return ShapeDispatchingAOT(
+            epoch_fn,
+            salt=f"gan12duel-epoch:{cfg}:mesh={mesh_tag}",
+            donate_argnums=(0,),
+            sig_argnums=(1, 2),
+            devices=list(mesh.devices.flat) if mesh is not None else None,
+        )
+    return jax.jit(epoch_fn, donate_argnums=(0,))

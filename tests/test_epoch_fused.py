@@ -1,0 +1,148 @@
+"""Epoch-fused stage A: lax.scan of the 12-duel schedule over an epoch.
+
+``make_gan_epoch_step`` exists because the hosted 12-duel step is
+DISPATCH-bound, not compute-bound (~6.6 ms device vs 22-37 ms wall per
+dispatch over the tunnel, PERF.md "stage-A dispatch"); scanning the epoch
+amortizes one dispatch across N steps (reference stage:
+train_IEMOCAP.py:255-393 runs 12 eager duels per batch with a host sync
+after each).
+
+Contracts pinned here:
+- a single-group scanned epoch computes EXACTLY the per-batch loop's math,
+  each batch under the same PRNG key the loop would have split;
+- ``train_gan(epoch_fused=True)`` reproduces the loop's final params and
+  CSV history on a single-bucket loader, and handles multi-bucket epochs by
+  shape grouping (losses reported per ORIGINAL loader position).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_ffn_tpu.train.gan import (
+    GANConfig,
+    LOGGED_LOSS_KEYS,
+    init_gan_state,
+    make_gan_epoch_step,
+    make_gan_train_step,
+)
+
+
+def _batches(rng, n, L, B):
+    out = []
+    for _ in range(n):
+        out.append({
+            "text": jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32)),
+            "visual": jnp.asarray(rng.normal(size=(L, B, 512)).astype(np.float32)),
+            "audio": jnp.asarray(rng.normal(size=(L, B, 100)).astype(np.float32)),
+            "valid_len": jnp.asarray(L, dtype=jnp.int32),
+            "n_real": jnp.asarray(B, dtype=jnp.int32),
+        })
+    return out
+
+
+@pytest.mark.slow
+def test_epoch_step_matches_per_batch_steps():
+    cfg = GANConfig(num_layers=1, aot_cache=False)
+    rng = np.random.default_rng(3)
+    batches = _batches(rng, 3, 8, 4)
+
+    key = jax.random.PRNGKey(7)
+    keys = []
+    for _ in batches:  # the exact chain cli/common.py::train_gan splits
+        key, sub = jax.random.split(key)
+        keys.append(sub)
+
+    state = init_gan_state(cfg, jax.random.PRNGKey(0))
+    state_copy = jax.tree.map(lambda x: jnp.array(np.asarray(x)), state)
+
+    step = make_gan_train_step(cfg)
+    loop_losses = []
+    for b, k in zip(batches, keys):
+        state, losses = step(state, b, k)
+        loop_losses.append({k2: float(losses[k2]) for k2 in LOGGED_LOSS_KEYS})
+
+    epoch_step = make_gan_epoch_step(cfg)
+    stacked = {k2: jnp.stack([b[k2] for b in batches]) for k2 in batches[0]}
+    state2, stacked_losses = epoch_step(state_copy, stacked, jnp.stack(keys))
+
+    for k2 in LOGGED_LOSS_KEYS:
+        got = np.asarray(stacked_losses[k2])
+        want = np.array([row[k2] for row in loop_losses])
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=0
+        ),
+        state["params"], state2["params"],
+    )
+
+
+@pytest.mark.slow
+def test_train_gan_epoch_fused_matches_loop_single_bucket(tmp_path):
+    """End-to-end through cli/common.py::train_gan: same loader, same seed,
+    fused vs per-batch — single bucket (all lengths < 32), so trajectories
+    must match."""
+    from gan_ffn_tpu.cli.common import train_gan
+    from gan_ffn_tpu.data import get_iemocap_loaders, write_synthetic_iemocap
+
+    pkl = str(tmp_path / "iemocap.pkl")
+    write_synthetic_iemocap(pkl, n_train=12, n_test=4, min_len=18, max_len=28,
+                            seed=11)
+    cfg = GANConfig(num_layers=1, aot_cache=False)
+
+    def run(epoch_fused):
+        loader, _, _ = get_iemocap_loaders(pkl, batch_size=4, valid=0.1, seed=11)
+        state, history = train_gan(
+            cfg, loader, epochs=2, epoch_fused=epoch_fused,
+            log=lambda *_: None,
+        )
+        return state, history
+
+    state_a, hist_a = run(False)
+    state_b, hist_b = run(True)
+
+    assert len(hist_a) == len(hist_b) == 2
+    for ra, rb in zip(hist_a, hist_b):
+        assert ra["epoch"] == rb["epoch"]
+        for k in LOGGED_LOSS_KEYS:
+            np.testing.assert_allclose(ra[k], rb[k], atol=1e-5, rtol=0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=0
+        ),
+        state_a["params"], state_b["params"],
+    )
+
+
+@pytest.mark.slow
+def test_train_gan_epoch_fused_multi_bucket_groups(tmp_path):
+    """An epoch spanning two bucket shapes runs group-by-group: finite losses
+    for every CSV key, one history row per epoch, and per-batch loss rows
+    reported in ORIGINAL loader order (the CSV row is the loader-last
+    batch's)."""
+    from gan_ffn_tpu.cli.common import train_gan
+    from gan_ffn_tpu.data import get_iemocap_loaders, write_synthetic_iemocap
+
+    pkl = str(tmp_path / "iemocap2.pkl")
+    # lengths straddle the 32-bucket boundary -> two shape groups per epoch
+    write_synthetic_iemocap(pkl, n_train=12, n_test=4, min_len=20, max_len=60,
+                            seed=12)
+    loader, _, _ = get_iemocap_loaders(pkl, batch_size=4, valid=0.1, seed=12)
+    cfg = GANConfig(num_layers=1, aot_cache=False)
+
+    rows = []
+    state, history = train_gan(
+        cfg, loader, epochs=1, epoch_fused=True, log=rows.append,
+    )
+    assert len(history) == 1
+    for k in LOGGED_LOSS_KEYS:
+        assert np.isfinite(history[0][k])
+    # per-batch log lines cover every batch (loader order), one per batch
+    batch_lines = [
+        r for r in rows
+        if r.startswith("GAN epoch 0 acoustic_G_loss=")
+    ]
+    n_batches = sum(1 for _ in loader)
+    assert n_batches >= 2 and len(batch_lines) == n_batches
