@@ -30,6 +30,13 @@ LAST so a driver that parses the final line still records the metric
 comparable with rounds 1-3 (``BENCH_r*.json``). ``--flagship`` restores the
 single-line flagship-only run.
 
+ALL three lines additionally carry ``epoch_fused_*`` fields: the same step
+scanned over an N=4-batch epoch in ONE dispatch (``--epoch-fused``), which
+removes the per-step tunnel round-trip the headline loop pays — the hosted
+steps are dispatch-bound, not compute-bound (PERF.md "stage-A dispatch" /
+"stage-B dispatch"). The headline ``value`` stays the per-step loop so it
+remains comparable with rounds 1-3.
+
 Baselines: the reference publishes no throughput numbers (BASELINE.md), so
 each mode carries an estimate of the reference's V100 rate, anchored by
 measurements of the reference's OWN torch code on this host's CPU (PERF.md):
@@ -126,7 +133,11 @@ def bench_classifier(args):
 
     from gan_ffn_tpu.cli.common import IEMOCAP_LOSS_WEIGHTS, make_gan_ffn_apply_fns
     from gan_ffn_tpu.models import GAN_FFN
-    from gan_ffn_tpu.train.classifier import init_classifier_state, make_classifier_steps
+    from gan_ffn_tpu.train.classifier import (
+        init_classifier_state,
+        make_classifier_epoch_steps,
+        make_classifier_steps,
+    )
     from gan_ffn_tpu.train.optim import torch_adam
 
     L, B = args.bucket_len, args.batch_size
@@ -144,6 +155,9 @@ def bench_classifier(args):
         apply_train, apply_eval, opt, 6, jnp.asarray(IEMOCAP_LOSS_WEIGHTS)
     )
     state = init_classifier_state(params, opt)
+    # pristine params copy for the epoch-fused leg: the per-batch loop
+    # donates `state` (and with it the original init buffers) every step
+    params_f = jax.tree.map(jnp.copy, params)
 
     key = jax.random.PRNGKey(1)
     holder = {"state": state, "key": key}
@@ -158,10 +172,60 @@ def bench_classifier(args):
     jax.block_until_ready(loss)
     times = timed_loop(step_once, lambda loss: loss, args.steps)
 
-    return {
+    stats = {
         "metric": "utterances/sec/chip (GAN_FFN train step, IEMOCAP flagship)",
         **throughput_stats(float(umask.sum()) * args.steps, times, REFERENCE_V100_UPS),
     }
+    stats.update(_epoch_fused_leg(
+        make_classifier_epoch_steps(
+            apply_train, apply_eval, opt, 6, jnp.asarray(IEMOCAP_LOSS_WEIGHTS)
+        )[0],
+        init_classifier_state(params_f, opt), batch, umask, args,
+        REFERENCE_V100_UPS,
+    ))
+    return stats
+
+
+def _epoch_fused_leg(train_epoch_step, state, batch, umask, args, baseline):
+    """Extra ``epoch_fused_*`` fields for a classifier bench line: the
+    ``make_classifier_epoch_steps`` scan dispatches ONE program per N-batch
+    epoch, removing the per-step tunnel round-trip the per-batch loop pays
+    (the same dispatch-bound finding as stage A, PERF.md "stage-B
+    dispatch"). Guarded so a compile failure cannot take down the driver's
+    bench capture."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        N = 4  # reference stage B: ~108 train dialogues / batch 32 (30)
+        stacked = {k: jnp.stack([batch[k]] * N) for k in batch}
+        holder = {"state": state, "key": jax.random.PRNGKey(2)}
+
+        def epoch_once():
+            keys = jax.random.split(holder["key"], N + 1)
+            holder["key"] = keys[0]
+            holder["state"], (losses, _) = train_epoch_step(
+                holder["state"], stacked, keys[1:]
+            )
+            return losses
+
+        jax.block_until_ready(epoch_once())
+        n_epochs = max(1, args.steps // N)
+        times_f = timed_loop(epoch_once, lambda l: l, n_epochs)
+        fused = throughput_stats(
+            float(umask.sum()) * N * n_epochs, times_f, baseline
+        )
+        return {
+            "epoch_fused_value": fused["value"],
+            "epoch_fused_median": fused["median"],
+            "epoch_fused_spread": fused["spread"],
+            "epoch_fused_vs_baseline": fused["vs_baseline"],
+        }
+    except Exception as e:  # pragma: no cover - defensive driver guard
+        print(f"epoch-fused leg skipped: {e!r}", file=sys.stderr)
+        return {}
 
 
 def bench_stage_a(args):
@@ -246,7 +310,11 @@ def bench_dialoguernn(args):
 
     from gan_ffn_tpu.cli.common import IEMOCAP_LOSS_WEIGHTS
     from gan_ffn_tpu.models import GAN_FFN_DialogueRNN
-    from gan_ffn_tpu.train.classifier import init_classifier_state, make_classifier_steps
+    from gan_ffn_tpu.train.classifier import (
+        init_classifier_state,
+        make_classifier_epoch_steps,
+        make_classifier_steps,
+    )
     from gan_ffn_tpu.train.optim import torch_adam
 
     L = args.bucket_len
@@ -283,6 +351,9 @@ def bench_dialoguernn(args):
         apply_train, apply_eval, opt, 6, jnp.asarray(IEMOCAP_LOSS_WEIGHTS)
     )
     state = init_classifier_state(params, opt)
+    # pristine params copy for the epoch-fused leg (the per-batch loop
+    # donates the original init buffers)
+    params_f = jax.tree.map(jnp.copy, params)
     key = jax.random.PRNGKey(1)
     holder = {"state": state, "key": key}
 
@@ -296,12 +367,20 @@ def bench_dialoguernn(args):
     jax.block_until_ready(loss)
     times = timed_loop(step_once, lambda loss: loss, args.steps)
 
-    return {
+    stats = {
         "metric": "utterances/sec/chip (GAN_FFN_DialogueRNN train step)",
         **throughput_stats(
             float(umask.sum()) * args.steps, times, REFERENCE_V100_DIALOGUERNN_UPS
         ),
     }
+    stats.update(_epoch_fused_leg(
+        make_classifier_epoch_steps(
+            apply_train, apply_eval, opt, 6, jnp.asarray(IEMOCAP_LOSS_WEIGHTS)
+        )[0],
+        init_classifier_state(params_f, opt), batch, umask, args,
+        REFERENCE_V100_DIALOGUERNN_UPS,
+    ))
+    return stats
 
 
 def main():

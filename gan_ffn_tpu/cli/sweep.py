@@ -53,10 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--num-layers", type=int, default=8)
     p.add_argument("--epoch-fused", action="store_true", default=False,
-                   help="stage A dispatches ONE scanned program per "
+                   help="BOTH stages dispatch ONE scanned program per "
                         "same-shape batch group per epoch — the sweep is "
-                        "15.3x stage-A-bound and the hosted 12-duel step is "
-                        "dispatch-bound (PERF.md stage-A dispatch)")
+                        "15.3x stage-A-bound and the hosted steps are "
+                        "dispatch-bound (PERF.md stage-A/stage-B dispatch)")
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=3407)
     p.add_argument("--synthetic-train", type=int, default=120)
@@ -172,10 +172,21 @@ def main(argv=None) -> dict:
     )
     apply_train, apply_eval = make_gan_ffn_apply_fns(model)
     optimizer = torch_adam(args.lr, weight_decay=args.l2)
-    train_step, eval_step = make_classifier_steps(
-        apply_train, apply_eval, optimizer, 6, jnp.asarray(IEMOCAP_LOSS_WEIGHTS),
-        aot_cache=True,
-    )
+    if args.epoch_fused:
+        # stage B is dispatch-bound too (PERF.md "stage-B dispatch"); with
+        # stage A already fused, the classifier's per-batch dispatches are
+        # the sweep's next-largest tunnel cost
+        from ..train.classifier import make_classifier_epoch_steps
+
+        train_step, eval_step = make_classifier_epoch_steps(
+            apply_train, apply_eval, optimizer, 6,
+            jnp.asarray(IEMOCAP_LOSS_WEIGHTS), aot_cache=True,
+        )
+    else:
+        train_step, eval_step = make_classifier_steps(
+            apply_train, apply_eval, optimizer, 6, jnp.asarray(IEMOCAP_LOSS_WEIGHTS),
+            aot_cache=True,
+        )
 
     history_dir = os.path.join(args.output_dir, "history")
     # Per-point state construction as ONE jitted program (fresh copy of the
@@ -194,10 +205,20 @@ def main(argv=None) -> dict:
         rng = jax.random.PRNGKey(args.seed + 2)
         for e in range(args.epochs):
             rng, sub = jax.random.split(rng)
-            clf_state, train_res = run_epoch(
-                train_loader, clf_state, train_step=train_step, rng=sub
-            )
-            test_res = run_epoch(test_loader, clf_state["params"], eval_step=eval_step)
+            if args.epoch_fused:
+                from ..train.loop import run_epoch_fused
+
+                clf_state, train_res = run_epoch_fused(
+                    train_loader, clf_state, train_epoch_step=train_step, rng=sub
+                )
+                test_res = run_epoch_fused(
+                    test_loader, clf_state["params"], eval_epoch_step=eval_step
+                )
+            else:
+                clf_state, train_res = run_epoch(
+                    train_loader, clf_state, train_step=train_step, rng=sub
+                )
+                test_res = run_epoch(test_loader, clf_state["params"], eval_step=eval_step)
             if best is None or best[0] > test_res.avg_loss:
                 best = (test_res.avg_loss, test_res.labels, test_res.preds, test_res.masks)
         path = write_test_report(history_dir, g, best[0], best[1], best[2], best[3])

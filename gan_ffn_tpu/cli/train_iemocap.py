@@ -90,10 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "compile); 'stepwise' jits the 12 duels separately (fast "
                         "compiles — the right choice for CPU-hosted runs)")
     p.add_argument("--epoch-fused", action="store_true", default=False,
-                   help="stage A dispatches ONE scanned program per same-shape "
+                   help="BOTH stages dispatch ONE scanned program per same-shape "
                         "batch group per epoch instead of one per batch — the "
-                        "hosted 12-duel step is dispatch-bound (PERF.md "
-                        "stage-A dispatch). Per-batch PRNG keys match the "
+                        "hosted steps are dispatch-bound (PERF.md stage-A/"
+                        "stage-B dispatch). Per-batch PRNG keys match the "
                         "per-batch loop exactly; when an epoch spans several "
                         "bucket shapes, updates reorder across groups")
     p.add_argument("--dp", action="store_true", default=False,
@@ -137,6 +137,11 @@ def main(argv=None) -> dict:
         build_parser().error(
             "--epoch-fused is not wired for --dp (the stacked epoch is not "
             "mesh-sharded); use per-batch --dp, or --epoch-fused single-chip")
+    if args.epoch_fused and args.tensorboard and args.tb_grad_histograms == "batch":
+        build_parser().error(
+            "--epoch-fused cannot honor --tb-grad-histograms batch: the "
+            "per-batch grad hook is the dispatch pattern the fused epoch "
+            "removes — use --tb-grad-histograms epoch, or drop --epoch-fused")
     print(f"Running on {wait_for_device()[0].platform}")
 
     if args.synthetic and not os.path.exists(args.data_path):
@@ -234,12 +239,23 @@ def main(argv=None) -> dict:
     # to import silently no-ops, and the grads-returning step would pay a
     # fresh compile (distinct AOT salt) + a per-batch hook for nothing.
     train_grads = writer.enabled and args.tb_grad_histograms == "batch"
-    train_step, eval_step = make_classifier_steps(
-        apply_train, apply_eval, optimizer, n_classes, loss_weights,
-        aot_cache=True,  # fresh processes skip the compile (utils/aot.py)
-        eval_attentions=True,
-        train_grads=train_grads,
-    )
+    if args.epoch_fused:
+        # stage B is dispatch-bound like stage A (PERF.md "stage-B
+        # dispatch"): one scanned program per same-shape batch group per
+        # epoch phase replaces one dispatch per batch
+        from ..train.classifier import make_classifier_epoch_steps
+
+        train_step, eval_step = make_classifier_epoch_steps(
+            apply_train, apply_eval, optimizer, n_classes, loss_weights,
+            aot_cache=True, eval_attentions=True,
+        )
+    else:
+        train_step, eval_step = make_classifier_steps(
+            apply_train, apply_eval, optimizer, n_classes, loss_weights,
+            aot_cache=True,  # fresh processes skip the compile (utils/aot.py)
+            eval_attentions=True,
+            train_grads=train_grads,
+        )
     state = init_classifier_state(params, optimizer)
     if writer.enabled and args.tb_grad_histograms == "epoch":
         from ..train.classifier import make_grad_fn
@@ -264,16 +280,34 @@ def main(argv=None) -> dict:
                 writer.add_param_histograms(grads, _e)
 
         with trace(args.profile if e == 1 else None):  # epoch 1: post-compile
-            state, train_res = run_epoch(
-                train_loader, state, train_step=train_step, rng=sub,
-                lr_scale=lr_scale, on_batch=on_batch, train_grads=train_grads,
+            if args.epoch_fused:
+                from ..train.loop import run_epoch_fused
+
+                state, train_res = run_epoch_fused(
+                    train_loader, state, train_epoch_step=train_step, rng=sub,
+                    lr_scale=lr_scale,
+                )
+            else:
+                state, train_res = run_epoch(
+                    train_loader, state, train_step=train_step, rng=sub,
+                    lr_scale=lr_scale, on_batch=on_batch, train_grads=train_grads,
+                )
+        if args.epoch_fused:
+            valid_res = run_epoch_fused(
+                valid_loader, state["params"], eval_epoch_step=eval_step,
+                eval_attentions=True,
             )
-        valid_res = run_epoch(
-            valid_loader, state["params"], eval_step=eval_step, eval_attentions=True
-        )
-        test_res = run_epoch(
-            test_loader, state["params"], eval_step=eval_step, eval_attentions=True
-        )
+            test_res = run_epoch_fused(
+                test_loader, state["params"], eval_epoch_step=eval_step,
+                eval_attentions=True,
+            )
+        else:
+            valid_res = run_epoch(
+                valid_loader, state["params"], eval_step=eval_step, eval_attentions=True
+            )
+            test_res = run_epoch(
+                test_loader, state["params"], eval_step=eval_step, eval_attentions=True
+            )
 
         if writer.enabled and args.tb_grad_histograms == "epoch":
             # per-parameter gradient histograms sampled once per epoch (the

@@ -78,10 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "compile); 'stepwise' jits the 12 duels separately (fast "
                         "compiles — the right choice for CPU-hosted runs)")
     p.add_argument("--epoch-fused", action="store_true", default=False,
-                   help="stage A dispatches ONE scanned program per same-shape "
+                   help="BOTH stages dispatch ONE scanned program per same-shape "
                         "batch group per epoch instead of one per batch — the "
-                        "hosted 12-duel step is dispatch-bound (PERF.md "
-                        "stage-A dispatch). Per-batch PRNG keys match the "
+                        "hosted steps are dispatch-bound (PERF.md stage-A/"
+                        "stage-B dispatch). Per-batch PRNG keys match the "
                         "per-batch loop exactly; when an epoch spans several "
                         "bucket shapes, updates reorder across groups")
     p.add_argument("--lr-schedule", choices=("reference", "decay"), default="reference",
@@ -119,6 +119,11 @@ def main(argv=None) -> dict:
         build_parser().error(
             "--epoch-fused is not wired for --dp (the stacked epoch is not "
             "mesh-sharded); use per-batch --dp, or --epoch-fused single-chip")
+    if args.epoch_fused and args.tensorboard and args.tb_grad_histograms == "batch":
+        build_parser().error(
+            "--epoch-fused cannot honor --tb-grad-histograms batch: the "
+            "per-batch grad hook is the dispatch pattern the fused epoch "
+            "removes — use --tb-grad-histograms epoch, or drop --epoch-fused")
     print(f"Running on {wait_for_device()[0].platform}")
 
     if args.synthetic and not os.path.exists(args.data_path):
@@ -223,12 +228,23 @@ def main(argv=None) -> dict:
     # writer.enabled: a no-op TBWriter must not select the grads-returning
     # step (distinct AOT salt -> fresh compile) for histograms it drops.
     train_grads = writer.enabled and args.tb_grad_histograms == "batch"
-    train_step, eval_step = make_classifier_steps(
-        apply_train, apply_eval, optimizer, n_classes, loss_weights,
-        aot_cache=True,  # the deep recurrent program costs ~215 s to compile
-        eval_attentions=True,
-        train_grads=train_grads,
-    )
+    if args.epoch_fused:
+        # stage B is dispatch-bound like stage A (PERF.md "stage-B
+        # dispatch"): one scanned program per same-shape batch group per
+        # epoch phase replaces one dispatch per batch
+        from ..train.classifier import make_classifier_epoch_steps
+
+        train_step, eval_step = make_classifier_epoch_steps(
+            apply_train, apply_eval, optimizer, n_classes, loss_weights,
+            aot_cache=True, eval_attentions=True,
+        )
+    else:
+        train_step, eval_step = make_classifier_steps(
+            apply_train, apply_eval, optimizer, n_classes, loss_weights,
+            aot_cache=True,  # the deep recurrent program costs ~215 s to compile
+            eval_attentions=True,
+            train_grads=train_grads,
+        )
     state = init_classifier_state(params, optimizer)
 
     if writer.enabled and args.tb_grad_histograms == "epoch":
@@ -250,16 +266,32 @@ def main(argv=None) -> dict:
             def on_batch(i, st, arrays, grads, _e=e):
                 writer.add_param_histograms(grads, _e)
 
-        state, train_res = run_epoch(
-            train_loader, state, train_step=train_step, rng=sub,
-            lr_scale=lr_scale, on_batch=on_batch, train_grads=train_grads,
-        )
-        valid_res = run_epoch(
-            valid_loader, state["params"], eval_step=eval_step, eval_attentions=True
-        )
-        test_res = run_epoch(
-            test_loader, state["params"], eval_step=eval_step, eval_attentions=True
-        )
+        if args.epoch_fused:
+            from ..train.loop import run_epoch_fused
+
+            state, train_res = run_epoch_fused(
+                train_loader, state, train_epoch_step=train_step, rng=sub,
+                lr_scale=lr_scale,
+            )
+            valid_res = run_epoch_fused(
+                valid_loader, state["params"], eval_epoch_step=eval_step,
+                eval_attentions=True,
+            )
+            test_res = run_epoch_fused(
+                test_loader, state["params"], eval_epoch_step=eval_step,
+                eval_attentions=True,
+            )
+        else:
+            state, train_res = run_epoch(
+                train_loader, state, train_step=train_step, rng=sub,
+                lr_scale=lr_scale, on_batch=on_batch, train_grads=train_grads,
+            )
+            valid_res = run_epoch(
+                valid_loader, state["params"], eval_step=eval_step, eval_attentions=True
+            )
+            test_res = run_epoch(
+                test_loader, state["params"], eval_step=eval_step, eval_attentions=True
+            )
         if best is None or best[0] > test_res.avg_loss:
             best = (test_res.avg_loss, test_res.labels, test_res.preds, test_res.masks)
             # best epoch's att2/directional attention weights (reference

@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "dropout mask: the reference's param.grad exactly) at the "
                         "cost of a sync per batch")
     p.add_argument("--classify", default="emotion", help="emotion or sentiment")
+    p.add_argument("--epoch-fused", action="store_true", default=False,
+                   help="each epoch phase dispatches ONE scanned program per "
+                        "same-shape batch group instead of one per batch — "
+                        "the hosted steps are dispatch-bound (PERF.md "
+                        "stage-B dispatch). Per-batch PRNG keys match the "
+                        "per-batch loop exactly")
     # framework additions
     p.add_argument("--data-path", default="data/meld/MELD_features_raw.pkl")
     p.add_argument("--synthetic", action="store_true", default=False)
@@ -60,6 +66,11 @@ def main(argv=None) -> dict:
     from ..utils.runtime import configure_tpu_runtime, wait_for_device
 
     configure_tpu_runtime()
+    if args.epoch_fused and args.tensorboard and args.tb_grad_histograms == "batch":
+        build_parser().error(
+            "--epoch-fused cannot honor --tb-grad-histograms batch: the "
+            "per-batch grad hook is the dispatch pattern the fused epoch "
+            "removes — use --tb-grad-histograms epoch, or drop --epoch-fused")
     print(f"Running on {wait_for_device()[0].platform}")
 
     if args.synthetic and not os.path.exists(args.data_path):
@@ -114,12 +125,22 @@ def main(argv=None) -> dict:
     # writer.enabled: a no-op TBWriter must not select the grads-returning
     # step (distinct AOT salt -> fresh compile) for histograms it drops.
     train_grads = writer.enabled and args.tb_grad_histograms == "batch"
-    train_step, eval_step = make_classifier_steps(
-        apply_train, apply_eval, optimizer, n_classes, loss_weights=None,
-        aot_cache=True,
-        eval_attentions=True,
-        train_grads=train_grads,
-    )
+    if args.epoch_fused:
+        # each phase is dispatch-bound over the hosted tunnel (PERF.md
+        # "stage-B dispatch"): one scanned program per same-shape batch group
+        from ..train.classifier import make_classifier_epoch_steps
+
+        train_step, eval_step = make_classifier_epoch_steps(
+            apply_train, apply_eval, optimizer, n_classes, loss_weights=None,
+            aot_cache=True, eval_attentions=True,
+        )
+    else:
+        train_step, eval_step = make_classifier_steps(
+            apply_train, apply_eval, optimizer, n_classes, loss_weights=None,
+            aot_cache=True,
+            eval_attentions=True,
+            train_grads=train_grads,
+        )
     state = init_classifier_state(params, optimizer)
 
     if writer.enabled and args.tb_grad_histograms == "epoch":
@@ -140,18 +161,34 @@ def main(argv=None) -> dict:
             def on_batch(i, st, arrays, grads, _e=e):
                 writer.add_param_histograms(grads, _e)
 
-        state, train_res = run_epoch(
-            train_loader, state, train_step=train_step, rng=sub, with_visual=False,
-            on_batch=on_batch, train_grads=train_grads,
-        )
-        valid_res = run_epoch(
-            valid_loader, state["params"], eval_step=eval_step, with_visual=False,
-            eval_attentions=True,
-        )
-        test_res = run_epoch(
-            test_loader, state["params"], eval_step=eval_step, with_visual=False,
-            eval_attentions=True,
-        )
+        if args.epoch_fused:
+            from ..train.loop import run_epoch_fused
+
+            state, train_res = run_epoch_fused(
+                train_loader, state, train_epoch_step=train_step, rng=sub,
+                with_visual=False,
+            )
+            valid_res = run_epoch_fused(
+                valid_loader, state["params"], eval_epoch_step=eval_step,
+                with_visual=False, eval_attentions=True,
+            )
+            test_res = run_epoch_fused(
+                test_loader, state["params"], eval_epoch_step=eval_step,
+                with_visual=False, eval_attentions=True,
+            )
+        else:
+            state, train_res = run_epoch(
+                train_loader, state, train_step=train_step, rng=sub, with_visual=False,
+                on_batch=on_batch, train_grads=train_grads,
+            )
+            valid_res = run_epoch(
+                valid_loader, state["params"], eval_step=eval_step, with_visual=False,
+                eval_attentions=True,
+            )
+            test_res = run_epoch(
+                test_loader, state["params"], eval_step=eval_step, with_visual=False,
+                eval_attentions=True,
+            )
         if writer.enabled:
             # reference scalar tags (train_MELD.py:179-181)
             writer.add_scalar("test: accuracy/loss", test_res.avg_accuracy / test_res.avg_loss, e)

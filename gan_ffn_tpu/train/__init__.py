@@ -9,10 +9,11 @@ from .gan import (
 )
 from .classifier import (
     ClassifierState,
+    make_classifier_epoch_steps,
     make_classifier_steps,
     init_classifier_state,
 )
-from .loop import run_epoch, EpochResult
+from .loop import run_epoch, run_epoch_fused, EpochResult
 from .optim import torch_adam
 
 __all__ = [
@@ -24,9 +25,11 @@ __all__ = [
     "create_gan_modules",
     "init_classifier_state",
     "init_gan_state",
+    "make_classifier_epoch_steps",
     "make_classifier_steps",
     "make_gan_epoch_step",
     "make_gan_train_step",
     "run_epoch",
+    "run_epoch_fused",
     "torch_adam",
 ]

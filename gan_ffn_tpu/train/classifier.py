@@ -109,6 +109,38 @@ def make_classifier_steps(
     fixed by the model config, and hashing its ~1000 leaves per call costs
     more than the step (the stage-A lesson, PERF.md).
     """
+    train_raw, eval_raw = _make_raw_steps(
+        apply_train, apply_eval, optimizer, n_classes, loss_weights,
+        eval_attentions=eval_attentions, train_grads=train_grads,
+    )
+
+    if aot_cache:
+        from ..utils.aot import ShapeDispatchingAOT
+
+        return (
+            ShapeDispatchingAOT(
+                train_raw,
+                salt="clf_train_grads" if train_grads else "clf_train",
+                donate_argnums=(0,),
+                sig_argnums=(1, 2, 3),
+            ),
+            ShapeDispatchingAOT(eval_raw, salt="clf_eval", sig_argnums=(1,)),
+        )
+    return jax.jit(train_raw, donate_argnums=(0,)), jax.jit(eval_raw)
+
+
+def _make_raw_steps(
+    apply_train: Callable,
+    apply_eval: Callable,
+    optimizer: optax.GradientTransformation,
+    n_classes: int,
+    loss_weights: Optional[jnp.ndarray] = None,
+    eval_attentions: bool = False,
+    train_grads: bool = False,
+):
+    """The unjitted (train_step, eval_step) bodies shared by the per-batch
+    steps (:func:`make_classifier_steps`) and the epoch-fused scans
+    (:func:`make_classifier_epoch_steps`)."""
 
     def loss_and_preds(log_prob, batch):
         lp = log_prob.transpose(1, 0, 2).reshape(-1, n_classes)  # (B*L, C)
@@ -144,19 +176,84 @@ def make_classifier_steps(
             log_prob = apply_eval(params, batch)
             return loss_and_preds(log_prob, batch)
 
+    return train_step, eval_step
+
+
+def make_classifier_epoch_steps(
+    apply_train: Callable,
+    apply_eval: Callable,
+    optimizer: optax.GradientTransformation,
+    n_classes: int,
+    loss_weights: Optional[jnp.ndarray] = None,
+    aot_cache: bool = False,
+    eval_attentions: bool = False,
+):
+    """Epoch-fused (train_epoch_step, eval_epoch_step): ONE program scanning
+    the classifier step over a stacked group of same-shape batches.
+
+    Motivation (hosted measurement, PERF.md "stage-A dispatch" / "stage-B
+    dispatch"): classifier train steps thread state sequentially, so their
+    tunnel dispatch round-trips cannot overlap — stage B is dispatch-bound
+    like stage A was. Scanning the step over the epoch amortizes one
+    dispatch (and one host transfer of losses/preds) across N batches, the
+    same move :func:`~gan_ffn_tpu.train.gan.make_gan_epoch_step` made for
+    the 12-duel schedule.
+
+    - ``train_epoch_step(state, stacked, keys[, lr_scale]) ->
+      (state, (losses (N,), preds (N, B*L)))`` where ``stacked`` carries
+      each batch tensor with a leading step axis and ``keys`` is the (N, 2)
+      stack of per-batch PRNG keys — the SAME keys the per-batch loop in
+      train/loop.py::run_epoch would have split, so a single-group epoch is
+      numerically identical to N per-batch dispatches (pinned by
+      tests/test_epoch_fused_classifier.py).
+    - ``eval_epoch_step(params, stacked) -> (losses, preds[, attn])`` with
+      ``attn`` (when ``eval_attentions``) the attention pytree stacked on a
+      leading step axis. Eval steps have no cross-batch dependency, but over
+      the hosted tunnel each dispatch still pays the full round-trip, so
+      they are fused the same way.
+
+    ``train_grads``/``on_batch`` per-batch observability is deliberately NOT
+    supported here — a per-batch host hook is the dispatch pattern this path
+    exists to remove (the CLIs reject ``--epoch-fused`` +
+    ``--tb-grad-histograms batch``).
+    """
+    train_raw, eval_raw = _make_raw_steps(
+        apply_train, apply_eval, optimizer, n_classes, loss_weights,
+        eval_attentions=eval_attentions, train_grads=False,
+    )
+
+    def train_epoch(state, stacked, keys, lr_scale=1.0):
+        def body(st, xs):
+            batch, key = xs
+            st2, loss, preds = train_raw(st, key, batch, lr_scale)
+            return st2, (loss, preds)
+
+        return jax.lax.scan(body, state, (stacked, keys))
+
+    def eval_epoch(params, stacked):
+        def body(carry, batch):
+            return carry, eval_raw(params, batch)
+
+        _, outs = jax.lax.scan(body, 0, stacked)
+        return outs
+
     if aot_cache:
         from ..utils.aot import ShapeDispatchingAOT
 
         return (
             ShapeDispatchingAOT(
-                train_step,
-                salt="clf_train_grads" if train_grads else "clf_train",
+                train_epoch,
+                salt="clf_train_epoch",
                 donate_argnums=(0,),
                 sig_argnums=(1, 2, 3),
             ),
-            ShapeDispatchingAOT(eval_step, salt="clf_eval", sig_argnums=(1,)),
+            ShapeDispatchingAOT(
+                eval_epoch,
+                salt="clf_eval_epoch_attn" if eval_attentions else "clf_eval_epoch",
+                sig_argnums=(1,),
+            ),
         )
-    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+    return jax.jit(train_epoch, donate_argnums=(0,)), jax.jit(eval_epoch)
 
 
 def make_grad_fn(

@@ -190,3 +190,110 @@ def run_epoch(
     avg_f1 = round(f1_score(labels, preds, sample_weight=masks, average="weighted") * 100, 2)
     result = EpochResult(avg_loss, avg_acc, labels, preds, masks, avg_f1, attentions)
     return (state, result) if train_step is not None else result
+
+
+def run_epoch_fused(
+    loader: Iterable[Batch],
+    state,
+    train_epoch_step: Optional[Callable] = None,
+    eval_epoch_step: Optional[Callable] = None,
+    rng: Optional[jax.Array] = None,
+    with_visual: bool = True,
+    lr_scale: Optional[float] = None,
+    eval_attentions: bool = False,
+):
+    """Epoch-fused counterpart of :func:`run_epoch`: ONE scanned-program
+    dispatch per same-shape batch group instead of one dispatch per batch
+    (steps from ``make_classifier_epoch_steps``).
+
+    Exists because classifier steps thread state sequentially, so per-batch
+    dispatches cannot overlap over the hosted tunnel — stage B is
+    dispatch-bound exactly like stage A was (PERF.md "stage-B dispatch").
+
+    Semantics match :func:`run_epoch` bit-for-bit on a single-bucket epoch:
+    every batch gets the exact PRNG key the per-batch loop would have split
+    (loader order), and losses/preds/labels/masks are re-assembled in loader
+    order before the metric computation (pinned by
+    tests/test_epoch_fused_classifier.py). When an epoch spans several
+    bucket shapes, the groups run sequentially, so TRAIN parameter updates
+    reorder across groups relative to loader order (the documented
+    ``--epoch-fused`` trade, same as stage A's). Eval epochs have no state,
+    so grouping never changes their results.
+
+    Per-batch observability (``on_batch``/``train_grads``) is not supported
+    — a per-batch host hook is the dispatch pattern this path removes.
+    """
+    items = list(prefetch_to_device(loader, with_visual=with_visual))
+    training = train_epoch_step is not None
+    if not items:
+        empty = EpochResult(float("nan"), float("nan"), np.array([]), np.array([]), np.array([]), float("nan"))
+        return (state, empty) if training else empty
+
+    keys = []
+    if training:
+        # the per-batch loop's exact key chain, in loader order
+        for _ in items:
+            rng, sub = jax.random.split(rng)
+            keys.append(sub)
+
+    # group same-shape batches (stable order within a group)
+    groups: Dict[tuple, list] = {}
+    for idx, (_, arrays) in enumerate(items):
+        sig = tuple((k, tuple(arrays[k].shape)) for k in sorted(arrays))
+        groups.setdefault(sig, []).append(idx)
+
+    n = len(items)
+    row_loss: List = [None] * n
+    row_preds: List = [None] * n
+    row_attn: List = [None] * n
+    for idxs in groups.values():
+        stacked = {
+            k: jnp.stack([items[i][1][k] for i in idxs])
+            for k in items[idxs[0]][1]
+        }
+        if training:
+            kstack = jnp.stack([keys[i] for i in idxs])
+            step_args = (state, stacked, kstack) if lr_scale is None else (
+                state, stacked, kstack, lr_scale
+            )
+            state, (losses, preds) = train_epoch_step(*step_args)
+            attn = None
+        else:
+            out = eval_epoch_step(state, stacked)
+            if eval_attentions:
+                losses, preds, attn = out
+            else:
+                losses, preds = out
+                attn = None
+        # device-side row slices stay lazy; ONE device_get fetches the epoch
+        for j, i in enumerate(idxs):
+            row_loss[i] = losses[j]
+            row_preds[i] = preds[j]
+            if attn is not None:
+                row_attn[i] = jax.tree.map(lambda a: a[j], attn)
+
+    all_labels = [b.label.reshape(-1) for b, _ in items]
+    all_masks = [b.umask.reshape(-1) for b, _ in items]
+    batch_mask_sums = [m.sum() for m in all_masks]
+
+    fetched = jax.device_get((row_loss, row_preds,
+                              row_attn if not training and eval_attentions else []))
+    losses = [float(l) * s for l, s in zip(fetched[0], batch_mask_sums)]
+    preds = np.concatenate([np.asarray(p) for p in fetched[1]])
+    labels = np.concatenate(all_labels)
+    masks = np.concatenate(all_masks)
+    attentions = None
+    if not training and eval_attentions and fetched[2] and fetched[2][0] is not None:
+        attentions = {"vids": [list(b.vids) for b, _ in items]}
+        for key in fetched[2][0]:
+            per_batch = [
+                np.asarray(a[key])[:, : items[i][0].n_real]
+                for i, a in enumerate(fetched[2])
+                if a[key] is not None and np.size(a[key])
+            ]
+            attentions[key] = per_batch
+    avg_loss = round(float(np.sum(losses) / np.sum(masks)), 4)
+    avg_acc = round(accuracy_score(labels, preds, sample_weight=masks) * 100, 2)
+    avg_f1 = round(f1_score(labels, preds, sample_weight=masks, average="weighted") * 100, 2)
+    result = EpochResult(avg_loss, avg_acc, labels, preds, masks, avg_f1, attentions)
+    return (state, result) if training else result
