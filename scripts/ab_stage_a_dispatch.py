@@ -51,8 +51,20 @@ def main():
     p.add_argument("--layers", type=int, default=8)
     args = p.parse_args()
 
+    from gan_ffn_tpu.utils.runtime import configure_tpu_runtime, wait_for_device
+
+    # Deployment runtime config (RBG PRNG) + the hosted-tunnel hang watchdog.
+    # NOTE: the recorded 2026-08-19 run (PERF.md "stage-A dispatch") predates
+    # this wiring and ran with the threefry default; the PRNG impl hits both
+    # arms equally so the recorded 4.37x ratio stands, but absolute ms/step
+    # from newer runs are not directly comparable with that table.
+    configure_tpu_runtime()
+    wait_for_device()
+
     import jax
     import jax.numpy as jnp
+
+    print(f"[init] platform={jax.devices()[0].platform}", flush=True)
 
     from gan_ffn_tpu.train.gan import (
         GANConfig,

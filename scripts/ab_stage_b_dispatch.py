@@ -20,6 +20,13 @@ Arms (same params init, same batches, same per-batch keys):
 Equivalence of the two arms' math is pinned by
 tests/test_epoch_fused_classifier.py; this script only times them.
 
+Runtime config matches the deployment defaults (``configure_tpu_runtime``:
+RBG PRNG — the threefry default both bloats the program with dropout-mask
+generation, 2.35x slower end-to-end on the classifier step per PERF.md, and
+multiplies the remote compile time) and device init goes through
+``wait_for_device`` so a wedged hosted tunnel prints a periodic diagnostic
+instead of hanging silently.
+
 Run (real TPU, exclusive):
     PYTHONPATH=/root/repo:$PYTHONPATH python scripts/ab_stage_b_dispatch.py
     PYTHONPATH=/root/repo:$PYTHONPATH python scripts/ab_stage_b_dispatch.py --model dialoguernn
@@ -114,8 +121,15 @@ def main():
     p.add_argument("--layers", type=int, default=8)
     args = p.parse_args()
 
+    from gan_ffn_tpu.utils.runtime import configure_tpu_runtime, wait_for_device
+
+    configure_tpu_runtime()
+    wait_for_device()
+
     import jax
     import jax.numpy as jnp
+
+    print(f"[init] platform={jax.devices()[0].platform}", flush=True)
 
     from gan_ffn_tpu.train.classifier import (
         init_classifier_state,
@@ -145,7 +159,11 @@ def main():
         keys.append(sub)
     kstack = jnp.stack(keys)
 
+    t0 = time.perf_counter()
     params = init(batches[0])
+    jax.block_until_ready(params)
+    print(f"[init] params initialized in {time.perf_counter() - t0:.1f} s",
+          flush=True)
     state_a = init_classifier_state(params, opt)
     state_b = jax.tree.map(lambda x: jnp.array(np.asarray(x)), state_a)
 
