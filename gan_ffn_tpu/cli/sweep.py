@@ -55,8 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epoch-fused", action="store_true", default=False,
                    help="BOTH stages dispatch ONE scanned program per "
                         "same-shape batch group per epoch — the sweep is "
-                        "15.3x stage-A-bound and the hosted steps are "
-                        "dispatch-bound (PERF.md stage-A/stage-B dispatch)")
+                        "15.3x stage-A-bound and stage A's hosted step is "
+                        "dispatch-bound, 4.4x fused (stage-B leg measured "
+                        "neutral — PERF.md stage-A/stage-B dispatch)")
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=3407)
     p.add_argument("--synthetic-train", type=int, default=120)
@@ -173,9 +174,8 @@ def main(argv=None) -> dict:
     apply_train, apply_eval = make_gan_ffn_apply_fns(model)
     optimizer = torch_adam(args.lr, weight_decay=args.l2)
     if args.epoch_fused:
-        # stage B is dispatch-bound too (PERF.md "stage-B dispatch"); with
-        # stage A already fused, the classifier's per-batch dispatches are
-        # the sweep's next-largest tunnel cost
+        # stage-B fusion measured throughput-neutral (PERF.md "stage-B
+        # dispatch"); fused here so one flag governs both stages
         from ..train.classifier import make_classifier_epoch_steps
 
         train_step, eval_step = make_classifier_epoch_steps(

@@ -80,8 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epoch-fused", action="store_true", default=False,
                    help="BOTH stages dispatch ONE scanned program per same-shape "
                         "batch group per epoch instead of one per batch — the "
-                        "hosted steps are dispatch-bound (PERF.md stage-A/"
-                        "stage-B dispatch). Per-batch PRNG keys match the "
+                        "hosted stage-A step is dispatch-bound, 4.4x fused; "
+                        "the stage-B leg is measured neutral (PERF.md stage-"
+                        "A/stage-B dispatch). Per-batch PRNG keys match the "
                         "per-batch loop exactly; when an epoch spans several "
                         "bucket shapes, updates reorder across groups")
     p.add_argument("--lr-schedule", choices=("reference", "decay"), default="reference",
@@ -229,9 +230,9 @@ def main(argv=None) -> dict:
     # step (distinct AOT salt -> fresh compile) for histograms it drops.
     train_grads = writer.enabled and args.tb_grad_histograms == "batch"
     if args.epoch_fused:
-        # stage B is dispatch-bound like stage A (PERF.md "stage-B
-        # dispatch"): one scanned program per same-shape batch group per
-        # epoch phase replaces one dispatch per batch
+        # one scanned program per same-shape batch group per epoch phase
+        # replaces one dispatch per batch (measured neutral for stage B,
+        # 4.4x for stage A — PERF.md "stage-B dispatch")
         from ..train.classifier import make_classifier_epoch_steps
 
         train_step, eval_step = make_classifier_epoch_steps(

@@ -45,10 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--classify", default="emotion", help="emotion or sentiment")
     p.add_argument("--epoch-fused", action="store_true", default=False,
                    help="each epoch phase dispatches ONE scanned program per "
-                        "same-shape batch group instead of one per batch — "
-                        "the hosted steps are dispatch-bound (PERF.md "
-                        "stage-B dispatch). Per-batch PRNG keys match the "
-                        "per-batch loop exactly")
+                        "same-shape batch group instead of one per batch "
+                        "(measured throughput-neutral for classifier stages "
+                        "— PERF.md stage-B dispatch). Per-batch PRNG keys "
+                        "match the per-batch loop exactly")
     # framework additions
     p.add_argument("--data-path", default="data/meld/MELD_features_raw.pkl")
     p.add_argument("--synthetic", action="store_true", default=False)
@@ -126,8 +126,8 @@ def main(argv=None) -> dict:
     # step (distinct AOT salt -> fresh compile) for histograms it drops.
     train_grads = writer.enabled and args.tb_grad_histograms == "batch"
     if args.epoch_fused:
-        # each phase is dispatch-bound over the hosted tunnel (PERF.md
-        # "stage-B dispatch"): one scanned program per same-shape batch group
+        # one scanned program per same-shape batch group per phase
+        # (measured throughput-neutral — PERF.md "stage-B dispatch")
         from ..train.classifier import make_classifier_epoch_steps
 
         train_step, eval_step = make_classifier_epoch_steps(

@@ -191,13 +191,13 @@ def make_classifier_epoch_steps(
     """Epoch-fused (train_epoch_step, eval_epoch_step): ONE program scanning
     the classifier step over a stacked group of same-shape batches.
 
-    Motivation (hosted measurement, PERF.md "stage-A dispatch" / "stage-B
-    dispatch"): classifier train steps thread state sequentially, so their
-    tunnel dispatch round-trips cannot overlap — stage B is dispatch-bound
-    like stage A was. Scanning the step over the epoch amortizes one
-    dispatch (and one host transfer of losses/preds) across N batches, the
-    same move :func:`~gan_ffn_tpu.train.gan.make_gan_epoch_step` made for
-    the 12-duel schedule.
+    Motivation: classifier train steps thread state sequentially, so their
+    tunnel dispatch round-trips cannot overlap — the stage-A fusion move
+    (:func:`~gan_ffn_tpu.train.gan.make_gan_epoch_step`, 4.4×) applied to
+    stage B. MEASURED (PERF.md "stage-B dispatch"): a WASH for both
+    classifier families — their 19/33 ms device compute already hides the
+    round-trip, unlike stage A's 5 ms step. Kept because ``--epoch-fused``
+    fuses both stages and this leg is neutral.
 
     - ``train_epoch_step(state, stacked, keys[, lr_scale]) ->
       (state, (losses (N,), preds (N, B*L)))`` where ``stacked`` carries

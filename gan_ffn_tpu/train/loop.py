@@ -206,9 +206,12 @@ def run_epoch_fused(
     dispatch per same-shape batch group instead of one dispatch per batch
     (steps from ``make_classifier_epoch_steps``).
 
-    Exists because classifier steps thread state sequentially, so per-batch
-    dispatches cannot overlap over the hosted tunnel — stage B is
-    dispatch-bound exactly like stage A was (PERF.md "stage-B dispatch").
+    Built on the hypothesis that stage B is dispatch-bound like stage A
+    (state threads sequentially, so per-batch dispatches cannot overlap);
+    the interleaved A/B measured it as a WASH — the 19/33 ms classifier
+    steps hide the tunnel round-trip (PERF.md "stage-B dispatch"). Kept
+    because ``--epoch-fused`` fuses both stages and the stage-B leg costs
+    nothing.
 
     Semantics match :func:`run_epoch` bit-for-bit on a single-bucket epoch:
     every batch gets the exact PRNG key the per-batch loop would have split

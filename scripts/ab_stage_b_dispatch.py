@@ -2,9 +2,12 @@
 
 Classifier train steps thread state sequentially (the next step consumes
 the params the previous one produced), so their tunnel dispatch
-round-trips cannot overlap — stage B (train_IEMOCAP.py:103-197's loop,
-run every epoch for train/valid/test) is dispatch-bound on the hosted
-deployment exactly like stage A was (PERF.md "stage-A dispatch").
+round-trips cannot overlap — the hypothesis was that stage B
+(train_IEMOCAP.py:103-197's loop, run every epoch for train/valid/test)
+is dispatch-bound like stage A. MEASURED ANSWER (2026-08-20, PERF.md
+"stage-B dispatch"): it is NOT — both classifier families' 19/33 ms
+device compute hides the round-trip; epoch-fusing stage B is a wash
+(0.98×/1.02×).
 ``make_classifier_epoch_steps`` (train/classifier.py) scans the step over
 a whole epoch's batches so ONE dispatch covers N steps; this script
 measures both arms on identical work, interleaved within one session so
@@ -165,7 +168,10 @@ def main():
     print(f"[init] params initialized in {time.perf_counter() - t0:.1f} s",
           flush=True)
     state_a = init_classifier_state(params, opt)
-    state_b = jax.tree.map(lambda x: jnp.array(np.asarray(x)), state_a)
+    # Clone ON DEVICE: a host round-trip (np.asarray per leaf) costs one
+    # tunnel RTT per param leaf — measured ~30 wall-minutes for
+    # DialogueRNN's hundreds of small leaves (PERF.md "stage-B dispatch").
+    state_b = jax.tree.map(jnp.copy, state_a)
 
     train_step, _ = make_classifier_steps(apply_train, apply_eval, opt, 6, weights)
     t0 = time.perf_counter()
