@@ -119,8 +119,10 @@ def _stacked_bidir_scan(
     row and broadcast over the P duplicated party rows — bitwise-identical
     per row to projecting the duplicated (B*P) rows. Train-mode dropout draws
     its masks from explicit ``fold_in`` keys, so the masks differ from the
-    two-scan path's flax-lifted stream (same distribution; trajectory-level
-    equivalence is covered by the entry-point band tests).
+    two-scan path's flax-lifted stream (same distribution — pinned directly
+    by tests/test_dropout_streams.py: loss-quantile match over 512 keys at
+    fixed params, plus a 40-step training-trajectory band vs the two-scan
+    path; the entry-point band tests cover it end-to-end).
 
     cp_f/cp_r: the two ``dialogue_cell`` param subtrees. Returns
     (e_f (L, B, D_e), alpha_f (L, B, L), e_b (L, B, D_e) in reversed time,
