@@ -123,23 +123,47 @@ def _pack(meta: Dict[str, Any], entries: Dict[str, bytes]) -> bytes:
 
 
 def _unpack(blob: bytes) -> Tuple[Dict[str, Any], Dict[str, bytes]]:
+    """Inverse of :func:`_pack`, hardened for the load path: artifacts are
+    the unit shipped to a fleet, so a truncated download or a bit-flipped
+    byte must surface as a first-class ``ValueError`` naming the corruption,
+    never as a raw ``struct.error``/``UnicodeDecodeError`` from offset
+    arithmetic (every field read is bounds-checked against the blob)."""
     if not blob.startswith(ARTIFACT_MAGIC):
         raise ValueError("not a gan_ffn_tpu serving artifact (bad magic)")
-    off = len(ARTIFACT_MAGIC)
-    (json_len,) = struct.unpack_from("<I", blob, off)
-    off += 4
-    meta = json.loads(blob[off : off + json_len].decode("utf-8"))
-    off += json_len
+
+    def take(off: int, n: int, what: str) -> int:
+        end = off + n
+        if n < 0 or end > len(blob):
+            raise ValueError(
+                f"truncated/corrupt artifact: {what} needs {n} bytes at "
+                f"offset {off}, but the blob ends at {len(blob)}"
+            )
+        return end
+
+    off = take(len(ARTIFACT_MAGIC), 4, "metadata length")
+    (json_len,) = struct.unpack_from("<I", blob, len(ARTIFACT_MAGIC))
+    end = take(off, json_len, "metadata JSON")
+    try:
+        meta = json.loads(blob[off:end].decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(f"truncated/corrupt artifact: metadata is not valid JSON ({e})") from e
+    if not isinstance(meta, dict):
+        raise ValueError("truncated/corrupt artifact: metadata is not a JSON object")
+    off = end
     entries: Dict[str, bytes] = {}
     while off < len(blob):
+        end = take(off, 4, "entry name length")
         (name_len,) = struct.unpack_from("<I", blob, off)
-        off += 4
-        name = blob[off : off + name_len].decode("utf-8")
-        off += name_len
+        off, end = end, take(end, name_len, "entry name")
+        try:
+            name = blob[off:end].decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise ValueError(f"truncated/corrupt artifact: entry name is not UTF-8 ({e})") from e
+        off, end = end, take(end, 8, f"payload length of entry {name!r}")
         (payload_len,) = struct.unpack_from("<Q", blob, off)
-        off += 8
-        entries[name] = blob[off : off + payload_len]
-        off += payload_len
+        off, end = end, take(end, payload_len, f"payload of entry {name!r}")
+        entries[name] = blob[off:end]
+        off = end
     return meta, entries
 
 
@@ -494,7 +518,37 @@ class ServingClassifier:
         self.batch_grid: Optional[Tuple[int, ...]] = (
             tuple(sorted(int(b) for b in batch_grid)) if batch_grid else None
         )
-        self._fn = jax.export.deserialize(entries["main"])
+        if "main" not in entries:
+            raise ValueError(
+                "truncated/corrupt artifact: no 'main' program entry "
+                f"(entries present: {sorted(entries) or 'none'})"
+            )
+        recorded = meta.get("jax_version", "<unrecorded>")
+        if recorded != jax.__version__:
+            import warnings
+
+            warnings.warn(
+                f"serving artifact was exported under jax {recorded} but "
+                f"jax {jax.__version__} is running; jax.export carries "
+                "compatibility guarantees across nearby versions, but "
+                "re-export on the serving version to be safe",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        try:
+            self._fn = jax.export.deserialize(entries["main"])
+        except Exception as e:
+            detail = (
+                f"exported under jax {recorded}, running jax {jax.__version__}"
+                if recorded != jax.__version__
+                else f"jax {jax.__version__} matches the exporting version, "
+                "so the program bytes are likely corrupt"
+            )
+            raise ValueError(
+                f"failed to deserialize the exported program ({detail}). "
+                "Re-export the artifact with cli/export.py on a matching jax "
+                f"version. Underlying error: {e}"
+            ) from e
 
     # -- construction ------------------------------------------------------
     @classmethod

@@ -95,6 +95,82 @@ def test_loader_rejects_bad_version(artifact):
         ServingClassifier(meta, entries)
 
 
+def test_unpack_rejects_truncation_at_every_boundary(artifact):
+    """A blob cut ANYWHERE must raise ValueError naming the corruption —
+    never a raw struct.error/UnicodeDecodeError from offset arithmetic
+    (serving.py::_unpack is the fleet's load path)."""
+    cuts = [
+        len(ARTIFACT_MAGIC) + 2,          # inside the metadata length
+        len(ARTIFACT_MAGIC) + 4 + 10,     # inside the metadata JSON
+        len(artifact) - 1,                # inside the final payload
+    ]
+    meta, entries = _unpack(artifact)
+    meta_len = len(ARTIFACT_MAGIC) + 4 + len(
+        json.dumps(meta, sort_keys=True).encode()
+    )
+    cuts += [meta_len + 2, meta_len + 4 + 2, meta_len + 4 + len("main") + 3]
+    for cut in cuts:
+        with pytest.raises(ValueError, match="truncated/corrupt"):
+            _unpack(artifact[:cut])
+
+
+def test_unpack_rejects_bitflips_in_framing(artifact):
+    """Bit-flips in the length fields imply absurd lengths; they must fail
+    as ValueError, not as silent mis-framing or an unbounded slice."""
+    # metadata length: flip the high byte -> multi-MB claimed length
+    blob = bytearray(artifact)
+    blob[len(ARTIFACT_MAGIC) + 3] ^= 0x80
+    with pytest.raises(ValueError, match="truncated/corrupt"):
+        _unpack(bytes(blob))
+    # corrupt the metadata JSON itself -> not valid JSON
+    blob = bytearray(artifact)
+    blob[len(ARTIFACT_MAGIC) + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="not valid JSON|truncated/corrupt"):
+        _unpack(bytes(blob))
+
+
+def test_loader_requires_main_entry(artifact):
+    meta, entries = _unpack(artifact)
+    with pytest.raises(ValueError, match="main"):
+        ServingClassifier(meta, {"other": b"x"})
+
+
+def test_loader_flipped_program_bytes_fail_actionably(artifact):
+    """A bit-flip inside the serialized program must surface as ValueError
+    saying the bytes are likely corrupt (jax versions match), not as an
+    opaque deserializer exception."""
+    meta, entries = _unpack(artifact)
+    payload = bytearray(entries["main"])
+    for i in range(16, min(len(payload), 4096), 97):  # scatter flips
+        payload[i] ^= 0xA5
+    try:
+        ServingClassifier(meta, {"main": bytes(payload)})
+    except ValueError as e:
+        assert "likely corrupt" in str(e) or "failed to deserialize" in str(e)
+    else:  # pragma: no cover - deserializer tolerated the flips
+        pytest.skip("deserializer accepted the mutated bytes")
+
+
+def test_loader_jax_version_mismatch_is_surfaced(artifact):
+    """Version skew is recorded at export; on load it must be (a) warned
+    about even when deserialization succeeds, and (b) named in the error
+    when it fails."""
+    import warnings
+
+    meta, entries = _unpack(artifact)
+    meta["jax_version"] = "0.0.1-test"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ServingClassifier(meta, entries)
+    assert any("0.0.1-test" in str(x.message) for x in w)
+    # failure path: broken program bytes + skewed version -> both versions
+    # named in the actionable error
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(ValueError, match="0.0.1-test"):
+            ServingClassifier(meta, {"main": b"garbage"})
+
+
 def test_artifact_matches_live_model_on_grid(tiny, clf):
     a, v, t = _inputs(8, BATCH)
     np.testing.assert_allclose(
@@ -473,6 +549,56 @@ def test_http_server_round_trip(tiny, clf, artifact, tmp_path):
             with pytest.raises(urllib.error.HTTPError) as ei:
                 urllib.request.urlopen(bad)
             assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+
+
+def test_http_server_concurrent_mixed_shapes(tiny, clf):
+    """ThreadingHTTPServer under concurrent load: N client threads hammer
+    /predict with MIXED (L, B) shapes — every response must be 200 and must
+    equal that shape's single-threaded prediction (the deserialized program
+    is immutable and per-shape execution caches populate under a lock;
+    a race would surface as a 500, a wrong-shape answer, or a hang)."""
+    from gan_ffn_tpu.cli.serve import make_handler
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(clf))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    shapes = [(8, 2), (5, 1), (12, 3), (16, 4), (3, 2), (9, 5)]
+    cases = []
+    for i, (sl, sb) in enumerate(shapes):
+        a, v, t = _inputs(sl, sb, seed=20 + i)
+        body = json.dumps(
+            {"audio": a.tolist(), "visual": v.tolist(), "text": t.tolist()}
+        ).encode()
+        cases.append((body, clf.predict(a, v, t).T.tolist()))
+
+    results = {}
+    errors = []
+
+    def worker(idx):
+        body, want = cases[idx % len(cases)]
+        try:
+            req = urllib.request.Request(
+                f"{base}/predict", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            resp = json.loads(urllib.request.urlopen(req, timeout=60).read())
+            results[idx] = resp["classes"] == want
+        except Exception as e:  # surface in the main thread
+            errors.append((idx, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(18)]
+    try:
+        for t_ in threads:
+            t_.start()
+        for t_ in threads:
+            t_.join(timeout=120)
+        assert not errors, errors
+        assert len(results) == 18 and all(results.values()), results
     finally:
         server.shutdown()
         thread.join(timeout=5)
