@@ -10,6 +10,15 @@ tunnel's ~±25% cross-process variance (PERF.md): spread = (max-min)/median
 over the in-process repeats. Round-over-round deltas smaller than the session
 variance bar are noise regardless of the in-process spread.
 
+The protocol self-defends against tunnel noise (round 5): a capture whose
+spread exceeds 0.3 auto-extends with a second set of repeats
+(``"extended": true``); if the merged capture is still above the limit the
+line carries ``"noisy": true`` so driver records stay interpretable without
+PERF.md's variance lore. Each path also reports its hardware ceiling:
+``model_flops_per_step`` (XLA cost analysis of the lowered HLO — model-FLOPs
+in the MFU sense, no extra compile) and ``pct_peak_mxu`` (flops /
+median-step-time / chip bf16 peak, e.g. 197 TFLOP/s for v5e).
+
 Three hot paths, all at the reference's own shapes, all counting only REAL
 utterances (sum(umask) with realistic dialogue lengths 20-110):
 
@@ -127,6 +136,77 @@ def throughput_stats(utt_per_run: float, times, baseline: float) -> dict:
     }
 
 
+# A capture whose in-process spread exceeds this is tunnel noise, not signal
+# (BENCH_r04's flagship line committed a 0.547-spread capture; rounds 2-3
+# medians showed no regression — the protocol now defends itself instead of
+# relying on PERF.md's variance lore).
+SPREAD_LIMIT = 0.3
+
+
+def robust_stats(step_once, loss_ref, steps, utt_per_step, baseline, reps=5):
+    """timed_loop + throughput_stats with noise self-defense: when the
+    spread over the repeats exceeds SPREAD_LIMIT, the measurement
+    auto-extends with another `reps` repeats (doubling the sample) and
+    recomputes; if the merged capture is STILL above the limit the line is
+    marked ``"noisy": true`` so the driver's record carries its own health
+    flag. Returns (stats, times)."""
+    times = timed_loop(step_once, loss_ref, steps, reps)
+    stats = throughput_stats(utt_per_step * steps, times, baseline)
+    if stats["spread"] > SPREAD_LIMIT:
+        times = times + timed_loop(step_once, loss_ref, steps, reps)
+        stats = throughput_stats(utt_per_step * steps, times, baseline)
+        stats["extended"] = True
+        if stats["spread"] > SPREAD_LIMIT:
+            stats["noisy"] = True
+    return stats, times
+
+
+# Per-chip dense peak (FLOP/s) at the MXU's native bf16 precision, by
+# jax device_kind. Sources: Google Cloud TPU public specs (v4 275 TF,
+# v5e 197 TF, v5p 459 TF, v6e/Trillium 918 TF bf16 per chip).
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def mxu_fields(lower_thunk, times, steps) -> dict:
+    """``model_flops_per_step`` + ``pct_peak_mxu`` for a bench line.
+
+    FLOPs come from XLA's cost analysis of the LOWERED (pre-optimization)
+    HLO — no extra backend compile — so each throughput number carries its
+    hardware ceiling: pct_peak_mxu = flops / median_step_time / peak(chip).
+    This is model-FLOPs utilization (MFU) in the scaling-book sense; fusion
+    or remat changes executed FLOPs but not this numerator, which is the
+    convention that makes runs comparable. Guarded: any failure just omits
+    the fields (e.g. CPU smoke runs, where no MXU peak applies)."""
+    import sys
+
+    try:
+        import jax
+
+        lowered = lower_thunk()
+        cost = lowered.cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older jax returned [dict]
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0) or 0.0)
+        if flops <= 0:
+            return {}
+        med_step = sorted(times)[len(times) // 2] / steps
+        fields = {"model_flops_per_step": float(f"{flops:.4g}")}
+        peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+        if peak:
+            fields["pct_peak_mxu"] = round(100.0 * flops / med_step / peak, 2)
+        return fields
+    except Exception as e:  # pragma: no cover - defensive driver guard
+        print(f"mxu fields skipped: {e!r}", file=sys.stderr)
+        return {}
+
+
 def bench_classifier(args):
     import jax
     import jax.numpy as jnp
@@ -142,7 +222,7 @@ def bench_classifier(args):
 
     L, B = args.bucket_len, args.batch_size
     dtype = None if args.fp32 else jnp.bfloat16
-    model = GAN_FFN(n_classes=6, gen_num_layers=8, dtype=dtype)
+    model = GAN_FFN(n_classes=6, gen_num_layers=args.num_layers, dtype=dtype)
     rng = np.random.default_rng(0)
     batch, umask = realistic_batch(rng, L, B)
     params = model.init(
@@ -170,12 +250,17 @@ def bench_classifier(args):
     for _ in range(args.warmup):
         loss = step_once()
     jax.block_until_ready(loss)
-    times = timed_loop(step_once, lambda loss: loss, args.steps)
-
+    tstats, times = robust_stats(
+        step_once, lambda loss: loss, args.steps, float(umask.sum()),
+        REFERENCE_V100_UPS,
+    )
     stats = {
         "metric": "utterances/sec/chip (GAN_FFN train step, IEMOCAP flagship)",
-        **throughput_stats(float(umask.sum()) * args.steps, times, REFERENCE_V100_UPS),
+        **tstats,
     }
+    stats.update(mxu_fields(
+        lambda: train_step.lower(holder["state"], key, batch), times, args.steps
+    ))
     stats.update(_epoch_fused_leg(
         make_classifier_epoch_steps(
             apply_train, apply_eval, opt, 6, jnp.asarray(IEMOCAP_LOSS_WEIGHTS)
@@ -213,16 +298,18 @@ def _epoch_fused_leg(train_epoch_step, state, batch, umask, args, baseline):
 
         jax.block_until_ready(epoch_once())
         n_epochs = max(1, args.steps // N)
-        times_f = timed_loop(epoch_once, lambda l: l, n_epochs)
-        fused = throughput_stats(
-            float(umask.sum()) * N * n_epochs, times_f, baseline
+        fused, _ = robust_stats(
+            epoch_once, lambda l: l, n_epochs, float(umask.sum()) * N, baseline
         )
-        return {
+        out = {
             "epoch_fused_value": fused["value"],
             "epoch_fused_median": fused["median"],
             "epoch_fused_spread": fused["spread"],
             "epoch_fused_vs_baseline": fused["vs_baseline"],
         }
+        if fused.get("noisy"):
+            out["epoch_fused_noisy"] = True
+        return out
     except Exception as e:  # pragma: no cover - defensive driver guard
         print(f"epoch-fused leg skipped: {e!r}", file=sys.stderr)
         return {}
@@ -236,7 +323,7 @@ def bench_stage_a(args):
 
     L, B = args.bucket_len, args.batch_size
     dtype = None if args.fp32 else jnp.bfloat16
-    cfg = GANConfig(num_layers=8, dtype=dtype)
+    cfg = GANConfig(num_layers=args.num_layers, dtype=dtype)
     rng = np.random.default_rng(0)
     batch, umask = realistic_batch(rng, L, B)
     gan_batch = {
@@ -255,14 +342,20 @@ def bench_stage_a(args):
     for _ in range(args.warmup):
         losses = step_once()
     jax.block_until_ready(losses["duel_11"])
-    times = timed_loop(step_once, lambda l: l["duel_11"], args.steps)
-
+    tstats, times = robust_stats(
+        step_once, lambda l: l["duel_11"], args.steps, float(umask.sum()),
+        REFERENCE_V100_STAGE_A_UPS,
+    )
     stats = {
         "metric": "utterances/sec/chip (fused 12-duel stage-A GAN step)",
-        **throughput_stats(
-            float(umask.sum()) * args.steps, times, REFERENCE_V100_STAGE_A_UPS
-        ),
+        **tstats,
     }
+    # the AOT wrapper exposes its traced schedule fn; re-lowering is pure
+    # tracing (no backend compile), cheap next to the bench itself
+    stats.update(mxu_fields(
+        lambda: jax.jit(step.fn).lower(holder["state"], gan_batch, key),
+        times, args.steps,
+    ))
 
     # epoch-fused variant (--epoch-fused / make_gan_epoch_step): one dispatch
     # per 4-batch epoch removes the per-step tunnel round-trip the line above
@@ -288,9 +381,9 @@ def bench_stage_a(args):
 
         jax.block_until_ready(epoch_once()["duel_11"])
         n_epochs = max(1, args.steps // N)
-        times_f = timed_loop(epoch_once, lambda l: l["duel_11"], n_epochs)
-        fused = throughput_stats(
-            float(umask.sum()) * N * n_epochs, times_f, REFERENCE_V100_STAGE_A_UPS
+        fused, _ = robust_stats(
+            epoch_once, lambda l: l["duel_11"], n_epochs,
+            float(umask.sum()) * N, REFERENCE_V100_STAGE_A_UPS,
         )
         stats.update({
             "epoch_fused_value": fused["value"],
@@ -298,6 +391,8 @@ def bench_stage_a(args):
             "epoch_fused_spread": fused["spread"],
             "epoch_fused_vs_baseline": fused["vs_baseline"],
         })
+        if fused.get("noisy"):
+            stats["epoch_fused_noisy"] = True
     except Exception as e:  # pragma: no cover - defensive driver guard
         print(f"stage-a epoch-fused leg skipped: {e!r}", file=sys.stderr)
 
@@ -323,7 +418,7 @@ def bench_dialoguernn(args):
     kwargs = dict(
         D_m=100, D_g=500, D_p=500, D_e=100, D_h=100, D_a=100, n_classes=6,
         context_attention="general", dropout_rec=0.1, dropout=0.6,
-        gen_num_layers=8, dtype=dtype,
+        gen_num_layers=args.num_layers, dtype=dtype,
     )
     model_train = GAN_FFN_DialogueRNN(**kwargs, deterministic=False)
     model_eval = GAN_FFN_DialogueRNN(**kwargs, deterministic=True)
@@ -365,14 +460,17 @@ def bench_dialoguernn(args):
     for _ in range(args.warmup):
         loss = step_once()
     jax.block_until_ready(loss)
-    times = timed_loop(step_once, lambda loss: loss, args.steps)
-
+    tstats, times = robust_stats(
+        step_once, lambda loss: loss, args.steps, float(umask.sum()),
+        REFERENCE_V100_DIALOGUERNN_UPS,
+    )
     stats = {
         "metric": "utterances/sec/chip (GAN_FFN_DialogueRNN train step)",
-        **throughput_stats(
-            float(umask.sum()) * args.steps, times, REFERENCE_V100_DIALOGUERNN_UPS
-        ),
+        **tstats,
     }
+    stats.update(mxu_fields(
+        lambda: train_step.lower(holder["state"], key, batch), times, args.steps
+    ))
     stats.update(_epoch_fused_leg(
         make_classifier_epoch_steps(
             apply_train, apply_eval, opt, 6, jnp.asarray(IEMOCAP_LOSS_WEIGHTS)
@@ -390,6 +488,11 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--bucket-len", type=int, default=112)
+    parser.add_argument("--num-layers", type=int, default=8,
+                        help="encoder depth; 8 is the reference/headline "
+                             "geometry — lower ONLY for smoke-testing the "
+                             "bench paths on CPU (numbers are not "
+                             "round-comparable)")
     mode = parser.add_mutually_exclusive_group()
     mode.add_argument("--stage-a", action="store_true", default=False,
                       help="bench ONLY the fused 12-duel adversarial step")

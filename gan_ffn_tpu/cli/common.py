@@ -48,6 +48,44 @@ def gan_batch_from(arrays: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     }
 
 
+def resolve_epoch_fused_auto(loader: BucketedLoader) -> bool:
+    """AUTO policy for ``--epoch-fused`` (the sweep's default, cli/sweep.py).
+
+    Fuse exactly when fusion is numerically IDENTICAL to the per-batch
+    loop: every dialogue's length maps to the SAME bucket, so every batch
+    of every epoch pads to one shape and the scanned epoch is one group
+    (the case pinned by tests/test_epoch_fused.py) — then the 4.4x
+    stage-A dispatch win (PERF.md "stage-A dispatch") costs nothing in
+    parity. When lengths span several buckets, an epoch's shape groups
+    depend on the shuffle and fused updates REORDER across groups relative
+    to loader order — a training-dynamics deviation from the reference
+    cadence (train_IEMOCAP.py:355-393) the quality A/Bs do not cover — so
+    AUTO keeps the per-batch loop and users opt in with ``--epoch-fused``.
+
+    Decidable without simulating epochs: batches pad to the smallest
+    bucket >= the batch max length, so "one bucket for every dialogue"
+    implies one shape for every possible batch composition.
+    """
+    buckets = loader.buckets
+
+    def bucket_of(n: int) -> int:
+        return next((b for b in buckets if n <= b), buckets[-1])
+
+    dialogue_buckets = {
+        bucket_of(loader.dataset[int(i)].length) for i in loader.indices
+    }
+    fused = len(dialogue_buckets) <= 1
+    print(
+        f"--epoch-fused AUTO: dialogue lengths span bucket(s) "
+        f"{sorted(dialogue_buckets)} -> "
+        + ("FUSED (single shape group: numerically identical to the "
+           "per-batch loop, one dispatch per epoch)" if fused else
+           "per-batch (multi-bucket epochs would reorder updates across "
+           "shape groups; pass --epoch-fused to force fusion)")
+    )
+    return fused
+
+
 def train_gan(
     cfg: GANConfig,
     train_loader: BucketedLoader,

@@ -35,7 +35,12 @@ from ..train.loop import batch_to_arrays, run_epoch
 from ..train.optim import torch_adam
 from ..utils.artifacts import draw_gan_loss, save_gan_loss_csv
 from ..evaluation.reports import write_test_report
-from .common import IEMOCAP_LOSS_WEIGHTS, make_gan_ffn_apply_fns, train_gan
+from .common import (
+    IEMOCAP_LOSS_WEIGHTS,
+    make_gan_ffn_apply_fns,
+    resolve_epoch_fused_auto,
+    train_gan,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -52,12 +57,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true", default=False)
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--num-layers", type=int, default=8)
-    p.add_argument("--epoch-fused", action="store_true", default=False,
+    p.add_argument("--epoch-fused", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="BOTH stages dispatch ONE scanned program per "
                         "same-shape batch group per epoch — the sweep is "
                         "15.3x stage-A-bound and stage A's hosted step is "
                         "dispatch-bound, 4.4x fused (stage-B leg measured "
-                        "neutral — PERF.md stage-A/stage-B dispatch)")
+                        "neutral — PERF.md stage-A/stage-B dispatch). "
+                        "Default AUTO: fused when every epoch is one shape "
+                        "group (then it is numerically IDENTICAL to the "
+                        "per-batch loop, tests/test_epoch_fused.py); "
+                        "per-batch when the data spans several buckets "
+                        "(fusion would reorder updates across groups vs "
+                        "the reference cadence). --epoch-fused / "
+                        "--no-epoch-fused force either way.")
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=3407)
     p.add_argument("--synthetic-train", type=int, default=120)
@@ -127,6 +140,9 @@ def main(argv=None) -> dict:
     # subtrees are kept — stage B grafts generators, never discriminators
     # (train/classifier.py::graft_generator_params).
     from ..train.classifier import GENERATOR_GAN_KEYS
+
+    if args.epoch_fused is None:
+        args.epoch_fused = resolve_epoch_fused_auto(gan_train_loader)
 
     snapshot_gens = jax.jit(
         lambda p: jax.tree.map(jnp.copy, {k: p[k] for k in GENERATOR_GAN_KEYS})

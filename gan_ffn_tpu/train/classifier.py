@@ -197,7 +197,8 @@ def make_classifier_epoch_steps(
     stage B. MEASURED (PERF.md "stage-B dispatch"): a WASH for both
     classifier families — their 19/33 ms device compute already hides the
     round-trip, unlike stage A's 5 ms step. Kept because ``--epoch-fused``
-    fuses both stages and this leg is neutral.
+    fuses both stages and this leg has no steady-state throughput cost
+    (its first-process compile is ~20 s slower on the flagship, PERF.md).
 
     - ``train_epoch_step(state, stacked, keys[, lr_scale]) ->
       (state, (losses (N,), preds (N, B*L)))`` where ``stacked`` carries

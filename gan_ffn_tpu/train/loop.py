@@ -210,8 +210,9 @@ def run_epoch_fused(
     (state threads sequentially, so per-batch dispatches cannot overlap);
     the interleaved A/B measured it as a WASH — the 19/33 ms classifier
     steps hide the tunnel round-trip (PERF.md "stage-B dispatch"). Kept
-    because ``--epoch-fused`` fuses both stages and the stage-B leg costs
-    nothing.
+    because ``--epoch-fused`` fuses both stages and the stage-B leg has no
+    steady-state throughput cost (first-process compile pays ~20 s extra on
+    the flagship: fused-epoch 88.9 s vs per-step 68.8 s, PERF.md).
 
     Semantics match :func:`run_epoch` bit-for-bit on a single-bucket epoch:
     every batch gets the exact PRNG key the per-batch loop would have split

@@ -406,6 +406,12 @@ class ShapeDispatchingAOT:
                         f"({n_pos} positional parameters)"
                     )
 
+    @property
+    def fn(self):
+        """The wrapped (un-jitted) function — e.g. for re-lowering to run
+        XLA cost analysis on the program (bench.py's pct_peak_mxu field)."""
+        return self._fn
+
     def __call__(self, *args):
         # shape + dtype + SHARDING: an AOT executable is specialized to its
         # input shardings, so same-shaped calls with different placements

@@ -112,3 +112,24 @@ def test_tb_grad_histogram_cadence(run_dir, cadence):
     else:
         assert n_events == epochs * 4  # every batch, like the reference
     assert "test: accuracy/loss" in acc.Tags()["scalars"]
+
+
+def test_resolve_epoch_fused_auto(tmp_path):
+    """The sweep's AUTO --epoch-fused policy (cli/common.py): fuse exactly
+    when every dialogue's length maps to one bucket (then the scanned epoch
+    is numerically identical to the per-batch loop); keep the per-batch
+    reference cadence when lengths span buckets."""
+    from gan_ffn_tpu.cli.common import resolve_epoch_fused_auto
+    from gan_ffn_tpu.data import get_iemocap_loaders, write_synthetic_iemocap
+
+    single = str(tmp_path / "single.pkl")
+    write_synthetic_iemocap(single, n_train=12, n_test=4, min_len=10,
+                            max_len=28, seed=5)  # all in the 32 bucket
+    loader, _, _ = get_iemocap_loaders(single, batch_size=4, valid=0.1, seed=5)
+    assert resolve_epoch_fused_auto(loader) is True
+
+    multi = str(tmp_path / "multi.pkl")
+    write_synthetic_iemocap(multi, n_train=12, n_test=4, min_len=10,
+                            max_len=60, seed=5)  # straddles the 32 boundary
+    loader, _, _ = get_iemocap_loaders(multi, batch_size=4, valid=0.1, seed=5)
+    assert resolve_epoch_fused_auto(loader) is False
