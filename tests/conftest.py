@@ -23,6 +23,22 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Persistent XLA compile cache for the suite (round 5): the gate's cost is
+# dominated by recompiling the same programs test after test (each
+# make_*_step call builds a fresh jit closure; the depth-1 12-duel program
+# alone costs ~65 s and is compiled by ~10 tests). The hosted TPU path
+# bypasses this cache (CLAUDE.md) but XLA:CPU honors it: measured 67.6 s ->
+# 13.5 s for the 12-duel step on a warm cache. The cache lives next to the
+# framework's executable cache so it persists ACROSS suite runs on the box;
+# keys include jax version + backend, so upgrades self-invalidate.
+_jit_cache = os.path.join(
+    os.path.expanduser("~"), ".cache", "gan_ffn_tpu_xla", "pytest_jit"
+)
+os.makedirs(_jit_cache, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _jit_cache)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import jax
 
 # The hosted TPU platform plugin ("axon") ignores JAX_PLATFORMS, so pin the

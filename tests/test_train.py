@@ -553,16 +553,19 @@ def test_full_pipeline_f1_band(tmp_path, monkeypatch):
     PARITY.md "Full-pipeline quality A/B": torch 8-layer vs jax 8-layer both
     converge to the ~79% accuracy ceiling; committed band there).
 
-    The CPU-affordable rendition trains depth-1 encoders at lr 3e-4 for 60
-    epochs on the same 120-dialogue fixture. The run is fully deterministic
-    at a fixed jax version (seed 3407, CPU f32; NOTE the CLI runtime
-    switches the PRNG impl to rbg before any training key is drawn, so the
-    recorded values are RBG-stream products — an XLA/jax upgrade may redraw
-    dropout masks like a new seed). Observed at round-4 HEAD: weighted
-    F1 = 76.61 and best test loss = 0.9187, so the bands are drawn tight
+    The CPU-affordable rendition trains depth-1 encoders at lr 3e-4 for 30
+    epochs on the same 120-dialogue fixture (round 5 shortened it from 60:
+    the min-loss epoch falls before 30, so the 30-epoch snapshot lands the
+    SAME weighted F1 = 76.61 the 60-epoch run did — measured, band
+    tightness unchanged — at ~half the suite cost). The run is fully
+    deterministic at a fixed jax version (seed 3407, CPU f32; NOTE the CLI
+    runtime switches the PRNG impl to rbg before any training key is drawn,
+    so the recorded values are RBG-stream products — an XLA/jax upgrade may
+    redraw dropout masks like a new seed). Observed at round-5 HEAD:
+    weighted F1 = 76.61 and best test loss = 0.9419, bands drawn tight
     around them (F1 +/- 4.6, loss +/- 0.10) — a real dynamics regression of
     a few F1 points anywhere in the pipeline (loaders, duels, graft, masked
-    loss, best-epoch selection) now fails the suite, while platform-level
+    loss, best-epoch selection) fails the suite, while platform-level
     float wiggle stays well inside."""
     fixture = str(tmp_path / "IEMOCAP_features.pkl")
     from gan_ffn_tpu.data.synthetic import write_synthetic_iemocap
@@ -576,7 +579,7 @@ def test_full_pipeline_f1_band(tmp_path, monkeypatch):
 
     try:
         res = main([
-            "--data-path", fixture, "--epochs", "60", "--GAN-epochs", "2",
+            "--data-path", fixture, "--epochs", "30", "--GAN-epochs", "2",
             "--continue-train-GAN-step", "0", "--num-layers", "1",
             "--gan-schedule", "stepwise", "--batch-size", "32",
             "--lr", "0.0003",
@@ -586,7 +589,7 @@ def test_full_pipeline_f1_band(tmp_path, monkeypatch):
 
         jax.config.update("jax_default_prng_impl", "threefry2x32")
     assert 72.0 <= res["f1"] <= 81.2, res
-    assert 0.82 <= float(res["best_loss"]) <= 1.02, res
+    assert 0.84 <= float(res["best_loss"]) <= 1.04, res
 
 
 @pytest.mark.slow
@@ -595,9 +598,11 @@ def test_meld_pipeline_f1_band(tmp_path, monkeypatch):
     label-noised fixture the torch-vs-jax MELD A/B ran on
     (scripts/ab_meld_pipeline.py, PARITY.md "MELD full-pipeline quality
     A/B": the reference's own train_MELD.py --no-cuda and this CLI both
-    landed final weighted F1 = 75.77, |delta| = 0.00). This is the exact jax
-    side of that A/B (seed 3407, 50 epochs, best-by-max-test-F1, 7-class,
-    ~78.6% accuracy ceiling at 25% label noise); the F1 band is drawn around
+    landed final weighted F1 = 75.77, |delta| = 0.00). This is the jax
+    side of that A/B shortened to 25 epochs (round 5; best-by-max-test-F1
+    reaches the SAME F1 = 75.77 by epoch 25 — measured, band tightness
+    unchanged — at half the suite cost; seed 3407, 7-class, ~78.6% accuracy
+    ceiling at 25% label noise); the F1 band is drawn around
     the observed values (75.77 in the A/B process, 75.97 under the 8-device
     test harness) so a real dynamics regression in the MELDLSTMModel path,
     loaders, masked loss, or best-epoch selection fails the suite. The loss
@@ -617,7 +622,7 @@ def test_meld_pipeline_f1_band(tmp_path, monkeypatch):
     from gan_ffn_tpu.cli.train_meld import main
 
     try:
-        res = main(["--data-path", fixture, "--epochs", "50"])
+        res = main(["--data-path", fixture, "--epochs", "25"])
     finally:
         # the CLI runtime switches the session-global PRNG impl to rbg;
         # restore the conftest's threefry so later tests' streams are stable
