@@ -38,6 +38,11 @@ os.makedirs(_jit_cache, exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _jit_cache)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# The CLI entry points call utils.runtime.configure_tpu_runtime(), which
+# re-points the cache at GANFFN_COMPILE_CACHE (default ~/.cache/...) —
+# pin it to the SAME directory so mid-suite CLI tests don't split the
+# cache in two.
+os.environ.setdefault("GANFFN_COMPILE_CACHE", _jit_cache)
 
 import jax
 
