@@ -174,7 +174,7 @@ PEAK_BF16_FLOPS = {
 }
 
 
-def mxu_fields(lower_thunk, times, steps) -> dict:
+def mxu_fields(lowerable, args, times, steps) -> dict:
     """``model_flops_per_step`` + ``pct_peak_mxu`` for a bench line.
 
     FLOPs come from XLA's cost analysis of the LOWERED (pre-optimization)
@@ -182,14 +182,31 @@ def mxu_fields(lower_thunk, times, steps) -> dict:
     hardware ceiling: pct_peak_mxu = flops / median_step_time / peak(chip).
     This is model-FLOPs utilization (MFU) in the scaling-book sense; fusion
     or remat changes executed FLOPs but not this numerator, which is the
-    convention that makes runs comparable. Guarded: any failure just omits
-    the fields (e.g. CPU smoke runs, where no MXU peak applies)."""
+    convention that makes runs comparable.
+
+    ``lowerable`` is anything with ``.lower`` (a ``jax.jit`` object); the
+    lowering runs on CPU over abstract avals of ``args`` — model FLOPs are
+    backend-independent, and the hosted TPU backend returns None from
+    ``Lowered.cost_analysis`` (measured 2026-08-20) while XLA:CPU fills it.
+    Guarded: any failure just omits the fields."""
     import sys
 
     try:
         import jax
 
-        lowered = lower_thunk()
+        from gan_ffn_tpu.ops.config import use_pallas_attention, use_pallas_mlp
+
+        avals = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape")
+            else x,
+            args,
+        )
+        # trace the XLA (non-Pallas) path: Mosaic kernels don't lower for
+        # XLA:CPU, and the kernels compute the same model FLOPs anyway
+        with jax.default_device(jax.devices("cpu")[0]), \
+                use_pallas_attention(False), use_pallas_mlp(False):
+            lowered = lowerable.lower(*avals)
         cost = lowered.cost_analysis()
         if isinstance(cost, (list, tuple)):  # older jax returned [dict]
             cost = cost[0] if cost else {}
@@ -200,7 +217,17 @@ def mxu_fields(lower_thunk, times, steps) -> dict:
         fields = {"model_flops_per_step": float(f"{flops:.4g}")}
         peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
         if peak:
-            fields["pct_peak_mxu"] = round(100.0 * flops / med_step / peak, 2)
+            pct = round(100.0 * flops / med_step / peak, 2)
+            fields["pct_peak_mxu"] = pct
+            if pct > 100.0:
+                # Unoptimized-HLO FLOPs at the measured step time exceed the
+                # chip's NOMINAL peak — measured for the 12-duel program on
+                # the hosted v5e (PERF.md "round-5 MFU fields"): either XLA
+                # eliminates a large fraction of the as-written FLOPs for
+                # this program, or the tunneled backend is faster than its
+                # reported device_kind (its memory is demonstrably
+                # virtualized). Flag rather than hide.
+                fields["pct_peak_mxu_suspect"] = True
         return fields
     except Exception as e:  # pragma: no cover - defensive driver guard
         print(f"mxu fields skipped: {e!r}", file=sys.stderr)
@@ -259,7 +286,7 @@ def bench_classifier(args):
         **tstats,
     }
     stats.update(mxu_fields(
-        lambda: train_step.lower(holder["state"], key, batch), times, args.steps
+        train_step, (holder["state"], key, batch), times, args.steps
     ))
     stats.update(_epoch_fused_leg(
         make_classifier_epoch_steps(
@@ -353,8 +380,7 @@ def bench_stage_a(args):
     # the AOT wrapper exposes its traced schedule fn; re-lowering is pure
     # tracing (no backend compile), cheap next to the bench itself
     stats.update(mxu_fields(
-        lambda: jax.jit(step.fn).lower(holder["state"], gan_batch, key),
-        times, args.steps,
+        jax.jit(step.fn), (holder["state"], gan_batch, key), times, args.steps
     ))
 
     # epoch-fused variant (--epoch-fused / make_gan_epoch_step): one dispatch
@@ -469,7 +495,7 @@ def bench_dialoguernn(args):
         **tstats,
     }
     stats.update(mxu_fields(
-        lambda: train_step.lower(holder["state"], key, batch), times, args.steps
+        train_step, (holder["state"], key, batch), times, args.steps
     ))
     stats.update(_epoch_fused_leg(
         make_classifier_epoch_steps(
